@@ -1,0 +1,209 @@
+"""Golden tests for the TPU-native kernels (softsplat, knn, point raster)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pgdvs_tpu.kernels import (
+    knn_mean_sq_dist,
+    rasterize_points,
+    softsplat,
+    statistical_outlier_mask,
+)
+from pgdvs_tpu.core import cameras
+
+
+# ---------------------------------------------------------------------------
+# softsplat
+# ---------------------------------------------------------------------------
+
+
+def _softsplat_numpy_oracle(img, flow, metric, mode="soft"):
+    """Literal numpy transcription of the reference CUDA scatter
+    (softsplat.py:352-402) + normalization (softsplat.py:280-333)."""
+    h, w, c = img.shape
+    if mode == "soft":
+        payload = np.concatenate([img * np.exp(metric), np.exp(metric)], axis=-1)
+    elif mode == "sum":
+        payload = img
+    elif mode == "avg":
+        payload = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=-1)
+    else:
+        raise ValueError(mode)
+    out = np.zeros((h, w, payload.shape[-1]), np.float32)
+    for y in range(h):
+        for x in range(w):
+            fx = x + flow[y, x, 0]
+            fy = y + flow[y, x, 1]
+            if not (np.isfinite(fx) and np.isfinite(fy)):
+                continue
+            x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+            for xi, yi, wgt in [
+                (x0, y0, (x0 + 1 - fx) * (y0 + 1 - fy)),
+                (x0 + 1, y0, (fx - x0) * (y0 + 1 - fy)),
+                (x0, y0 + 1, (x0 + 1 - fx) * (fy - y0)),
+                (x0 + 1, y0 + 1, (fx - x0) * (fy - y0)),
+            ]:
+                if 0 <= xi < w and 0 <= yi < h:
+                    out[yi, xi] += payload[y, x] * wgt
+    if mode == "sum":
+        return out
+    return out[..., :-1] / (out[..., -1:] + 1e-7)
+
+
+@pytest.mark.parametrize("mode", ["soft", "avg", "sum"])
+def test_softsplat_matches_oracle(mode):
+    rng = np.random.default_rng(0)
+    h, w = 12, 16
+    img = rng.uniform(0, 1, size=(h, w, 3)).astype(np.float32)
+    flow = rng.uniform(-4, 4, size=(h, w, 2)).astype(np.float32)
+    metric = rng.uniform(-2, 0, size=(h, w, 1)).astype(np.float32)
+    out = np.asarray(
+        softsplat(jnp.asarray(img), jnp.asarray(flow), jnp.asarray(metric), mode=mode)
+    )
+    ref = _softsplat_numpy_oracle(img, flow, metric, mode=mode)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_softsplat_identity_flow_is_identity():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, size=(8, 10, 3)).astype(np.float32)
+    out = np.asarray(
+        softsplat(
+            jnp.asarray(img),
+            jnp.zeros((8, 10, 2)),
+            jnp.zeros((8, 10, 1)),
+            mode="soft",
+        )
+    )
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_softsplat_soft_mode_resolves_collisions_by_metric():
+    """Two pixels splat to the same target; the one with the (much) larger
+    metric must dominate."""
+    img = np.zeros((1, 4, 1), np.float32)
+    img[0, 0, 0] = 1.0  # high-metric source
+    img[0, 1, 0] = 0.0  # low-metric source
+    flow = np.zeros((1, 4, 2), np.float32)
+    flow[0, 0, 0] = 3.0  # both land on x=3
+    flow[0, 1, 0] = 2.0
+    metric = np.zeros((1, 4, 1), np.float32)
+    metric[0, 0, 0] = 20.0
+    metric[0, 1, 0] = -20.0
+    out = np.asarray(softsplat(jnp.asarray(img), jnp.asarray(flow), jnp.asarray(metric)))
+    assert out[0, 3, 0] > 0.999
+
+
+def test_softsplat_translation():
+    """Integer translation moves content exactly; vacated pixels are zero."""
+    img = np.zeros((6, 6, 1), np.float32)
+    img[2, 2, 0] = 5.0
+    flow = np.zeros((6, 6, 2), np.float32)
+    flow[..., 0] = 2.0
+    flow[..., 1] = 1.0
+    out = np.asarray(softsplat(jnp.asarray(img), jnp.asarray(flow), mode="sum"))
+    assert out[3, 4, 0] == pytest.approx(5.0)
+    assert out[2, 2, 0] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# knn / outlier removal
+# ---------------------------------------------------------------------------
+
+
+def test_knn_mean_sq_dist_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    n, k = 100, 7
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    out = np.asarray(knn_mean_sq_dist(jnp.asarray(pts), k=k, tile=32))
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    ref = np.sort(d2, axis=1)[:, :k].mean(1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_knn_respects_validity_mask():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    valid = np.ones(64, bool)
+    valid[50:] = False
+    # garbage in padded region must not affect valid queries
+    pts_padded = pts.copy()
+    pts_padded[50:] = 0.0
+    out = np.asarray(
+        knn_mean_sq_dist(jnp.asarray(pts_padded), jnp.asarray(valid), k=5, tile=16)
+    )
+    d2 = ((pts[:50, None, :] - pts[None, :50, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    ref = np.sort(d2, axis=1)[:, :5].mean(1)
+    np.testing.assert_allclose(out[:50], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_statistical_outlier_mask_flags_far_point():
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(200, 3)).astype(np.float32) * 0.1
+    pts[0] = [50.0, 50.0, 50.0]  # gross outlier
+    keep, thres = statistical_outlier_mask(jnp.asarray(pts), k=10, std_thres=0.5, tile=64)
+    keep = np.asarray(keep)
+    assert not keep[0]
+    assert keep[1:].mean() > 0.9
+
+
+# ---------------------------------------------------------------------------
+# point rasterizer
+# ---------------------------------------------------------------------------
+
+
+def _look_at_cam(h, w, fx=100.0):
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = fx
+    k[0, 2] = w / 2.0
+    k[1, 2] = h / 2.0
+    c2w = np.eye(4)  # camera at origin looking +z
+    return cameras.make_flat_cam(h, w, k, c2w)
+
+
+def test_rasterize_single_point_lands_at_projection():
+    h, w = 32, 40
+    flat = _look_at_cam(h, w)
+    pts = np.array([[0.0, 0.0, 2.0]], np.float32)  # projects to image center
+    cols = np.array([[1.0, 0.5, 0.25]], np.float32)
+    img, alpha = rasterize_points(
+        jnp.asarray(pts), jnp.asarray(cols), flat, (h, w), radius=2.0, ndc_radius=False
+    )
+    img, alpha = np.asarray(img), np.asarray(alpha)
+    cy, cx = h // 2, w // 2
+    assert alpha[cy, cx, 0] == 1.0
+    np.testing.assert_allclose(img[cy, cx], cols[0], atol=1e-5)
+    assert alpha.sum() < 30  # small footprint only
+
+
+def test_rasterize_occlusion_near_wins():
+    h, w = 16, 16
+    flat = _look_at_cam(h, w, fx=50.0)
+    pts = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 5.0]], np.float32)
+    cols = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+    img, _ = rasterize_points(
+        jnp.asarray(pts), jnp.asarray(cols), flat, (h, w), radius=1.5, ndc_radius=False
+    )
+    img = np.asarray(img)
+    assert img[8, 8, 0] > 0.99 and img[8, 8, 1] < 0.01
+
+
+def test_rasterize_behind_camera_and_invalid_skipped():
+    h, w = 16, 16
+    flat = _look_at_cam(h, w, fx=50.0)
+    pts = np.array([[0.0, 0.0, -1.0], [0.0, 0.0, 2.0]], np.float32)
+    cols = np.ones((2, 3), np.float32)
+    valid = np.array([True, False])
+    img, alpha = rasterize_points(
+        jnp.asarray(pts),
+        jnp.asarray(cols),
+        flat,
+        (h, w),
+        valid=jnp.asarray(valid),
+        radius=1.5,
+        ndc_radius=False,
+    )
+    assert np.asarray(alpha).sum() == 0.0
