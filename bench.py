@@ -1,0 +1,93 @@
+"""Benchmark: full novel-view render at the reference's evaluation scale.
+
+Renders one 288x550 novel view exactly as the reference benchmark does
+(10 source views, 256 coarse samples/ray, inverse-uniform deterministic
+sampling — ``/root/reference/scripts/benchmark.sh:320-323``) through the
+full pipeline (GNT static + dynamic softsplat + composite) and reports
+chip-seconds per view.
+
+Baseline: the reference needs ~87 A100-GPU-seconds per novel view
+(``docs/BENCHMARK_NVIDIA.md:148-149``); vs_baseline = 87 / measured
+(>1 means faster than the reference).
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/pgdvs_tpu_jax_cache"
+)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from pgdvs_tpu.data.synthetic import make_contract_data
+    from pgdvs_tpu.renderers.compose import render_novel_view
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.static_gnt import init_gnt_params, make_gnt_models
+
+    h, w = 288, 550
+    n_src = 10
+    cfg = RenderConfig(
+        n_coarse_samples_per_ray=256,
+        sample_inv_uniform=True,
+        gnt_use_masked_spatial_src=True,
+        ray_tile=int(os.environ.get("BENCH_RAY_TILE", "4096")),
+    )
+
+    data = make_contract_data(h=h, w=w, n_spatial=n_src, n_frames=12, tgt_time=0.5)
+    dev_data = {
+        k: jnp.asarray(v) for k, v in data.items() if not isinstance(v, (dict, str))
+    }
+
+    models = make_gnt_models()
+    params = jax.jit(lambda k: init_gnt_params(k, *models, n_src=n_src))(
+        jax.random.PRNGKey(0)
+    )
+    params = jax.block_until_ready(params)
+
+    render = jax.jit(
+        lambda p, d, k: render_novel_view(models, p, d, cfg, k, static_mode="gnt")
+    )
+
+    # compile (not timed: the per-view cost is what the 87 GPU-s baseline
+    # measures; compile amortizes over 15,840 benchmark views)
+    t0 = time.time()
+    out = jax.block_until_ready(render(params, dev_data, jax.random.PRNGKey(0)))
+    compile_s = time.time() - t0
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.time()
+    for i in range(n_iters):
+        out = render(params, dev_data, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    per_view = (time.time() - t0) / n_iters
+
+    baseline_gpu_s = 87.0
+    print(
+        json.dumps(
+            {
+                "metric": "chip_seconds_per_novel_view_288x550",
+                "value": round(per_view, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline_gpu_s / per_view, 2),
+                "extra": {
+                    "compile_s": round(compile_s, 1),
+                    "device": str(jax.devices()[0]),
+                    "n_src": n_src,
+                    "n_samples": cfg.n_coarse_samples_per_ray,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

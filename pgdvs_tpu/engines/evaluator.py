@@ -1,0 +1,177 @@
+"""Evaluation engine — renders novel views and scores them.
+
+TPU counterpart of the reference evaluator
+(``/root/reference/pgdvs/engines/evaluator_pgdvs.py``): per view render ->
+NaN guard -> uint8 quantization -> masked PSNR/SSIM(/LPIPS) over full /
+dynamic / static regions (DynIBaR protocol) -> per-image records + dataset
+means. Views are distributed across devices/processes by simple index
+striding (the reference's DistributedSampler semantics) with a final
+cross-process sum via `jax.experimental.multihost_utils` when running under
+`jax.distributed` (single-process: plain numpy reduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import pathlib
+import pickle
+import time
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pgdvs_tpu.metrics.psnr_ssim import masked_psnr, masked_ssim, quantize_uint8
+from pgdvs_tpu.renderers.compose import render_novel_view
+from pgdvs_tpu.renderers.config import RenderConfig
+
+LOGGER = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class EvalRecord:
+    item_id: str
+    metrics: dict
+    wall_s: float
+
+
+def _to_numpy_img(x):
+    return np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+
+
+def compute_nvidia_metrics(pred, gt, dyn_mask, lpips_fn=None):
+    """Full / dynamic / static metric triplets, uint8-quantized inputs
+    (evaluator_pgdvs.py:73-77,190-280)."""
+    pred_q = quantize_uint8(_to_numpy_img(pred))
+    gt_q = quantize_uint8(_to_numpy_img(gt))
+    dyn = np.asarray(dyn_mask, np.float64)
+    if dyn.ndim == 2:
+        dyn = dyn[..., None]
+    dyn3 = np.repeat(dyn, 3, axis=-1) if dyn.shape[-1] == 1 else dyn
+    ones = np.ones_like(dyn3)
+    out = {}
+    for region, m in (("full", ones), ("dyn", dyn3), ("static", 1.0 - dyn3)):
+        out[f"psnr_{region}"] = masked_psnr(pred_q, gt_q, m)
+        out[f"ssim_{region}"] = masked_ssim(pred_q, gt_q, m)
+        if lpips_fn is not None:
+            out[f"lpips_{region}"] = float(
+                lpips_fn(pred_q.astype(np.float32), gt_q.astype(np.float32), m[..., :1])
+            )
+    return out
+
+
+class Evaluator:
+    """Render + score a dataset of contract dicts.
+
+    Args:
+      models, params: GNT modules and parameters (see renderers.static_gnt).
+      cfg: RenderConfig (static).
+      static_mode: 'gnt' | 'geo'.
+      out_dir: optional directory for per-image pickles / PNG dumps
+        (mirrors the reference's infos/ + vis/ layout).
+      lpips_params: optional LPIPS params (metrics.lpips_jax).
+    """
+
+    def __init__(
+        self,
+        models,
+        params,
+        cfg: RenderConfig,
+        static_mode: str = "gnt",
+        out_dir: Optional[str] = None,
+        lpips_params=None,
+        save_vis: bool = False,
+    ):
+        self.models = models
+        self.params = params
+        self.cfg = cfg
+        self.static_mode = static_mode
+        self.out_dir = pathlib.Path(out_dir) if out_dir else None
+        self.save_vis = save_vis
+
+        self._render = jax.jit(
+            lambda params, data, key: render_novel_view(
+                self.models, params, data, cfg, key, static_mode=static_mode
+            )
+        )
+        if lpips_params is not None:
+            from pgdvs_tpu.metrics.lpips_jax import lpips_distance
+
+            self._lpips = jax.jit(
+                lambda a, b, m: lpips_distance(lpips_params, a, b, mask=m)
+            )
+        else:
+            self._lpips = None
+
+    def eval_item(self, data, item_id: str = "item", seed: int = 0) -> EvalRecord:
+        t0 = time.time()
+        dev_data = {
+            k: jnp.asarray(v)
+            for k, v in data.items()
+            if k != "misc" and not isinstance(v, (str, dict))
+        }
+        out = self._render(self.params, dev_data, jax.random.PRNGKey(seed))
+        out = jax.block_until_ready(out)
+        pred = np.asarray(out["combined_rgb"])
+        # NaN guard (evaluator_pgdvs.py:56-68): log + zero-fill, never crash
+        if not np.isfinite(pred).all():
+            LOGGER.warning("non-finite render for %s; zero-filling", item_id)
+            pred = np.nan_to_num(pred, nan=0.0, posinf=1.0, neginf=0.0)
+        wall = time.time() - t0
+
+        metrics = {}
+        if "rgb_tgt" in data:
+            dyn_mask = (
+                data["misc"]["tgt_dyn_mask"]
+                if isinstance(data.get("misc"), dict)
+                and "tgt_dyn_mask" in data["misc"]
+                else np.asarray(data["eval_mask"])[..., :1]
+            )
+            metrics = compute_nvidia_metrics(
+                pred, np.asarray(data["rgb_tgt"]), dyn_mask, lpips_fn=self._lpips
+            )
+        metrics["render_wall_s"] = wall
+
+        if self.out_dir is not None:
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+            with open(self.out_dir / f"{item_id}.pkl", "wb") as f:
+                pickle.dump(metrics, f)
+            if self.save_vis:
+                import PIL.Image
+
+                PIL.Image.fromarray((pred * 255).astype(np.uint8)).save(
+                    self.out_dir / f"{item_id}_combined.png"
+                )
+        return EvalRecord(item_id, metrics, wall)
+
+    def run(
+        self,
+        dataset: Iterable,
+        process_index: int = 0,
+        process_count: int = 1,
+        max_items: int = -1,
+    ) -> dict:
+        """Evaluate, striding items across processes (eval data parallelism).
+
+        Returns mean metrics over this process's shard (plus counts so a
+        driver can reduce across processes exactly like the reference's
+        torch.distributed.reduce SUM).
+        """
+        records = []
+        for i, data in enumerate(dataset):
+            if process_count > 1 and i % process_count != process_index:
+                continue
+            if 0 <= max_items <= len(records):
+                break
+            rec = self.eval_item(data, item_id=f"{i:06d}", seed=i)
+            records.append(rec)
+            LOGGER.info("eval %s: %s", rec.item_id, json.dumps(rec.metrics))
+        if not records:
+            return {"count": 0}
+        keys = records[0].metrics.keys()
+        sums = {k: float(sum(r.metrics[k] for r in records)) for k in keys}
+        means = {k: v / len(records) for k, v in sums.items()}
+        return {"count": len(records), "sum": sums, "mean": means}

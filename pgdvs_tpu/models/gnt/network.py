@@ -1,0 +1,257 @@
+"""GNT — generalizable NeRF transformer (flax).
+
+Architecturally matches the reference network
+(``/root/reference/pgdvs/models/gnt/models/transformer_network.py:341-539``)
+so ``model_720000.pth`` weights port 1:1, but re-designed for XLA:
+
+  * the reference's ``Attention2D`` computes valid-view std statistics by a
+    *python loop over unique invalid counts* with dynamic-shape regrouping
+    (``transformer_network.py:87-150``) — a per-chunk recompile hazard and
+    the reference's own hot-loop wart. Here the identical statistics are
+    computed with masked ``where`` reductions in fixed shapes.
+  * masked view-attention softmax uses the "all views invalid -> attend to
+    all views un-masked" fallback the reference's mask-rewrite produces.
+  * everything is batched [..., S, V, C] and jit/vmap-friendly; no host
+    sync, no dynamic shapes.
+
+Structure (netwidth=64, depth=8): alternating *view transformer*
+(subtraction attention over source views, ray-difference positional code)
+and *ray transformer* (4-head QK attention over samples); q_fc MLP injects
+sinusoidal position/view encodings every other block; final LayerNorm ->
+mean over samples -> rgb head; the returned per-sample weights are the last
+ray transformer's head-averaged first-query attention row
+(``transformer_network.py:336``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+TINY = 1e-6
+
+
+def sinusoidal_embed(x, n_freqs: int = 10, max_freq_log2: float = 9.0):
+    """[x, sin(2^k x), cos(2^k x) ...] positional encoding.
+
+    Matches the reference Embedder (include_input, log-sampled bands,
+    per-frequency sin-then-cos channel order —
+    ``transformer_network.py:10-41``).
+    """
+    freqs = 2.0 ** jnp.linspace(0.0, max_freq_log2, n_freqs)
+    parts = [x]
+    for f in freqs:
+        parts.append(jnp.sin(x * f))
+        parts.append(jnp.cos(x * f))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def masked_view_std(k, valid, eps: float = TINY):
+    """Per-(ray, sample) std of k over *valid* views + normalized variant.
+
+    Fixed-shape equivalent of the reference's unique-invalid-count regrouping
+    (``transformer_network.py:87-150``): unbiased std over valid views;
+    exactly one valid view -> zeros; zero valid views -> std over all views
+    (the reference unmasks those rows).
+
+    Args:
+      k: [..., V, C]; valid: [..., V, 1] (1 = valid).
+    Returns: (std [..., C], normalized_std [..., C]).
+    """
+    v = k.shape[-2]
+    cnt = jnp.sum(valid, axis=-2)  # [..., 1]
+    all_invalid = cnt == 0
+    eff_valid = jnp.where(all_invalid[..., None, :], jnp.ones_like(valid), valid)
+    eff_cnt = jnp.where(all_invalid, float(v), cnt)  # [..., 1]
+
+    mean = jnp.sum(k * eff_valid, axis=-2) / eff_cnt
+    var = jnp.sum((k - mean[..., None, :]) ** 2 * eff_valid, axis=-2) / jnp.maximum(
+        eff_cnt - 1.0, 1.0
+    )
+    std = jnp.sqrt(var)
+    mean_abs = jnp.sum(jnp.abs(k) * eff_valid, axis=-2) / eff_cnt
+    norm_std = std / (mean_abs + eps)
+    single = eff_cnt == 1
+    std = jnp.where(single, 0.0, std)
+    norm_std = jnp.where(single, 0.0, norm_std)
+    return std, norm_std
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hid_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hid_dim, name="fc1")(x))
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class ViewAttention(nn.Module):
+    """Subtraction-based attention over source views (reference Attention2D).
+
+    attn = softmax_v(attn_fc(k - q + pos_fc(ray_diff))) with invalid views
+    masked to -inf; rows where every view is invalid attend un-masked.
+    out = sum_v (v + pos) * attn.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, q, k, pos, mask):
+        # q: [..., S, C]; k: [..., S, V, C]; pos: [..., S, V, 4];
+        # mask: [..., S, V, 1] (1 = valid)
+        qp = nn.Dense(self.dim, use_bias=False, name="q_fc")(q)
+        kp = nn.Dense(self.dim, use_bias=False, name="k_fc")(k)
+        vp = nn.Dense(self.dim, use_bias=False, name="v_fc")(kp)
+
+        k_std, k_norm_std = masked_view_std(kp, mask)
+
+        pos_emb = nn.Dense(self.dim, name="pos_fc_1")(
+            nn.relu(nn.Dense(self.dim // 8, name="pos_fc_0")(pos))
+        )
+        logits = kp - qp[..., None, :] + pos_emb
+        logits = nn.Dense(self.dim, name="attn_fc_1")(
+            nn.relu(nn.Dense(self.dim // 8, name="attn_fc_0")(logits))
+        )
+
+        cnt = jnp.sum(mask, axis=-2, keepdims=True)  # [..., S, 1, 1]
+        eff_mask = jnp.where(cnt == 0, jnp.ones_like(mask), mask)
+        logits = jnp.where(eff_mask == 0, -jnp.inf, logits)
+        attn = jax.nn.softmax(logits, axis=-2)  # over views
+
+        x = jnp.sum((vp + pos_emb) * attn, axis=-2)  # [..., S, C]
+        x = nn.Dense(self.dim, name="out_fc")(x)
+        return x, attn, k_std, k_norm_std
+
+
+class ViewTransformerBlock(nn.Module):
+    """Pre-LN view-attention + feed-forward block (reference Transformer2D)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, q, k, pos, mask):
+        x = nn.LayerNorm(epsilon=1e-6, name="attn_norm")(q)
+        x, attn, k_std, k_norm_std = ViewAttention(self.dim, name="attn")(
+            x, k, pos, mask
+        )
+        x = x + q
+        y = nn.LayerNorm(epsilon=1e-6, name="ff_norm")(x)
+        y = FeedForward(self.dim, self.dim * 4, name="ff")(y)
+        return y + x, attn, k_std, k_norm_std
+
+
+class RayAttention(nn.Module):
+    """Multi-head QK self-attention over samples (reference Attention)."""
+
+    dim: int
+    n_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [..., S, C]
+        s = x.shape[-2]
+        hd = self.dim // self.n_heads
+
+        def split(t):
+            t = t.reshape(t.shape[:-1] + (self.n_heads, hd))
+            return jnp.swapaxes(t, -2, -3)  # [..., H, S, hd]
+
+        q = split(nn.Dense(self.dim, use_bias=False, name="q_fc")(x))
+        k = split(nn.Dense(self.dim, use_bias=False, name="k_fc")(x))
+        v = split(nn.Dense(self.dim, use_bias=False, name="v_fc")(x))
+        logits = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(float(hd))
+        attn = jax.nn.softmax(logits, axis=-1)  # [..., H, S, S]
+        out = jnp.einsum("...qk,...kd->...qd", attn, v)
+        out = jnp.swapaxes(out, -2, -3).reshape(x.shape[:-1] + (self.dim,))
+        out = nn.Dense(self.dim, name="out_fc")(out)
+        # reference quirk: per-sample weights = head-mean of the FIRST query
+        # row of the attention matrix (transformer_network.py:336)
+        weights = jnp.mean(attn, axis=-3)[..., 0, :]  # [..., S]
+        return out, weights
+
+
+class RayTransformerBlock(nn.Module):
+    dim: int
+    n_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, name="attn_norm")(x)
+        y, weights = RayAttention(self.dim, self.n_heads, name="attn")(y)
+        x = x + y
+        z = nn.LayerNorm(epsilon=1e-6, name="ff_norm")(x)
+        z = FeedForward(self.dim, self.dim * 4, name="ff")(z)
+        return x + z, weights
+
+
+class GNT(nn.Module):
+    """Full GNT: per-sample view aggregation + along-ray reasoning.
+
+    Call with epipolar-sampled features; returns per-ray rgb, per-sample
+    compositing weights and the per-block view-consistency diagnostics the
+    composition layer consumes.
+    """
+
+    netwidth: int = 64
+    depth: int = 8
+    in_feat_ch: int = 32
+    n_freqs: int = 10
+    max_freq_log2: float = 9.0
+
+    @nn.compact
+    def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
+        """
+        Args:
+          rgb_feat: [..., S, V, 3 + in_feat_ch] sampled rgb+features.
+          ray_diff: [..., S, V, 4] ray-difference code.
+          mask: [..., S, V, 1] validity (in-front & in-bounds & not-dynamic).
+          pts: [..., S, 3] world sample positions.
+          ray_d: [..., 3] ray directions (unnormalized ok).
+
+        Returns dict: rgb [..., 3], weights [..., S],
+          view_std / view_std_normalized [..., S, depth+1].
+        """
+        viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+        view_code = sinusoidal_embed(viewdirs, self.n_freqs, self.max_freq_log2)
+        pts_code = sinusoidal_embed(pts, self.n_freqs, self.max_freq_log2)
+        view_code = jnp.broadcast_to(
+            view_code[..., None, :], pts_code.shape[:-1] + (view_code.shape[-1],)
+        )
+
+        h = nn.Dense(self.netwidth, name="rgbfeat_fc_0")(rgb_feat)
+        h = nn.Dense(self.netwidth, name="rgbfeat_fc_1")(nn.relu(h))
+        q = jnp.max(h, axis=-2)  # maxpool over views: [..., S, C]
+
+        std0, nstd0 = masked_view_std(h, jnp.ones_like(mask))
+        # reference's pre-block diagnostics use raw (unmasked) view std of the
+        # projected features (transformer_network.py:464-473)
+        view_std_list = [jnp.mean(std0, axis=-1)]
+        view_nstd_list = [jnp.mean(nstd0, axis=-1)]
+
+        weights = None
+        for i in range(self.depth):
+            q, _attn, k_std, k_norm_std = ViewTransformerBlock(
+                self.netwidth, name=f"view_trans_{i}"
+            )(q, h, ray_diff, mask)
+            view_std_list.append(jnp.mean(k_std, axis=-1))
+            view_nstd_list.append(jnp.mean(k_norm_std, axis=-1))
+            if i % 2 == 0:
+                q = jnp.concatenate([q, pts_code, view_code], axis=-1)
+                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_0")(q)
+                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_1")(nn.relu(q))
+            q, weights = RayTransformerBlock(self.netwidth, name=f"ray_trans_{i}")(q)
+
+        hq = nn.LayerNorm(name="norm")(q)
+        rgb = nn.Dense(3, name="rgb_fc")(jnp.mean(hq, axis=-2))
+
+        return {
+            "rgb": rgb,
+            "weights": weights,
+            "view_std": jnp.stack(view_std_list, axis=-1),
+            "view_std_normalized": jnp.stack(view_nstd_list, axis=-1),
+        }

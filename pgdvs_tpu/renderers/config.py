@@ -1,0 +1,62 @@
+"""Render configuration — the framework's feature-flag surface.
+
+Mirrors the reference's ``render_cfg`` block
+(``/root/reference/configs/engine/evaluator_pgdvs.yaml:11-48``) field for
+field, plus TPU-specific capacity knobs (ray tile size, point capacities)
+that turn the reference's dynamic host-side chunking into static shapes.
+
+Frozen + hashable so it can be a ``jax.jit`` static argument: changing a
+field recompiles, which is exactly the reference's ablation semantics (its 17
+benchmark_type bundles are compile-time variants here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- image / ray sampling -------------------------------------------
+    render_stride: int = 1
+    sample_inv_uniform: bool = True
+    n_coarse_samples_per_ray: int = 256
+    n_fine_samples_per_ray: int = 0
+
+    # --- static (GNT) branch --------------------------------------------
+    pure_gnt: bool = False
+    pure_gnt_with_dyn_mask: bool = False
+    gnt_use_dyn_mask: bool = False         # masked view attention
+    gnt_use_masked_spatial_src: bool = True  # feed static-only source rgb
+    mask_oob_n_proj_thres: int = 1
+    mask_invalid_n_proj_thres: int = 4
+
+    # --- static point-cloud branch (pure-geometry ablations) -------------
+    st_pcl_remove_outlier: bool = False
+    st_pcl_outlier_knn: int = 50
+    st_pcl_outlier_std_thres: float = 0.1
+    st_render_pcl_pt_radius: float = 0.01
+    st_render_pcl_pts_per_pixel: int = 1
+
+    # --- dynamic branch ---------------------------------------------------
+    dyn_pcl_remove_outlier: bool = False
+    dyn_pcl_outlier_knn: int = 50
+    dyn_pcl_outlier_std_thres: float = 0.1
+    dyn_render_type: str = "softsplat"  # softsplat | pcl | mesh
+    dyn_render_pcl_pt_radius: float = 0.01
+    dyn_render_pcl_pts_per_pixel: int = 1
+    dyn_render_track_temporal: str = "none"  # none | no_tgt
+    dyn_pcl_track_track2base_thres_mult: float = 50.0
+    dyn_render_use_flow_consistency: bool = False
+    softsplat_metric_abs_alpha: float = 100.0
+
+    # --- TPU capacity knobs (static shapes) ------------------------------
+    ray_tile: int = 4096           # rays per scan tile in the GNT render
+    dyn_point_capacity: int = 0    # 0 = H*W (every pixel may be dynamic)
+    knn_tile: int = 2048
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_EVAL_CONFIG = RenderConfig()

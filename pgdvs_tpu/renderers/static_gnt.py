@@ -1,0 +1,206 @@
+"""Static-background rendering with GNT — one fused XLA program.
+
+Replaces the reference's host-side chunk loop
+(``/root/reference/pgdvs/models/gnt/renderer.py:85-177``): instead of
+launching ~77 GPU kernels per image and concatenating on host, the whole
+render is a single jit — feature extraction once, then ``lax.map`` over
+fixed-size ray tiles (sequential to bound VMEM/HBM working set, fused by
+XLA within each tile). Rays are padded to a tile multiple; padding renders
+garbage that is sliced off at reshape.
+
+Per tile: deterministic inverse-uniform sampling -> epipolar projection +
+bilinear feature sampling over all source views -> GNT transformer ->
+per-ray rgb / depth (sum w*z) / inbound & dynamic counts
+(``gnt/renderer.py:207-287``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pgdvs_tpu.core import cameras, sampling
+from pgdvs_tpu.models.gnt.network import GNT
+from pgdvs_tpu.models.gnt.feature_net import ResUNet
+from pgdvs_tpu.models.gnt.projector import epipolar_sample
+from pgdvs_tpu.renderers.config import RenderConfig
+
+
+def make_gnt_models(netwidth: int = 64, depth: int = 8, feat_ch: int = 32):
+    return ResUNet(out_channels=feat_ch), GNT(
+        netwidth=netwidth, depth=depth, in_feat_ch=feat_ch
+    )
+
+
+def init_gnt_params(key, feature_net: ResUNet, gnt: GNT, n_src: int = 2):
+    """Random-init parameter pytrees (weight port loads over these shapes)."""
+    k1, k2 = jax.random.split(key)
+    fparams = feature_net.init(k1, jnp.zeros((n_src, 64, 64, 3)))
+    s, v, f = 4, n_src, gnt.in_feat_ch
+    gparams = gnt.init(
+        k2,
+        jnp.zeros((2, s, v, 3 + f)),
+        jnp.zeros((2, s, v, 4)),
+        jnp.ones((2, s, v, 1)),
+        jnp.zeros((2, s, 3)),
+        jnp.zeros((2, 3)),
+    )
+    return {"feature_net": fparams, "gnt": gparams}
+
+
+def render_rays_gnt(
+    gnt: GNT,
+    gnt_params,
+    rays_o,
+    rays_d,
+    depth_range,
+    tgt_cam,
+    src_cams,
+    src_rgbs,
+    src_feats,
+    cfg: RenderConfig,
+    src_invalid_masks=None,
+):
+    """Render a fixed-size batch of rays. All inputs are device arrays.
+
+    Args:
+      rays_o/rays_d: [R, 3]; depth_range: [R, 2].
+      src_*: stacked source views / features.
+
+    Returns dict of per-ray outputs (rgb, depth, weights, inbound_cnt,
+    dyn_cnt, view_std, view_std_normalized).
+    """
+    n_src = src_rgbs.shape[0]
+    pts, z_vals = sampling.sample_along_rays(
+        rays_o,
+        rays_d,
+        depth_range,
+        cfg.n_coarse_samples_per_ray,
+        inv_uniform=cfg.sample_inv_uniform,
+        deterministic=True,
+    )
+    proj = epipolar_sample(
+        pts,
+        tgt_cam,
+        src_cams,
+        src_rgbs,
+        src_feats,
+        src_invalid_masks if cfg.gnt_use_dyn_mask else None,
+    )
+    out = gnt.apply(
+        gnt_params,
+        proj["rgb_feat"],
+        proj["ray_diff"],
+        proj["mask"],
+        pts,
+        rays_d,
+    )
+    weights = out["weights"]  # [R, S]
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    inbound_cnt = jnp.sum(
+        weights * jnp.sum(proj["mask_inbound"][..., 0], axis=-1) / n_src, axis=-1
+    )
+    dyn_cnt = jnp.sum(
+        weights * jnp.sum(proj["mask_invalid"][..., 0], axis=-1) / n_src, axis=-1
+    )
+    return {
+        "rgb": out["rgb"],
+        "depth": depth,
+        "weights": weights,
+        "inbound_cnt": inbound_cnt,
+        "dyn_cnt": dyn_cnt,
+        # per-layer diagnostics composited along the ray by the same weights
+        # (gnt/renderer.py:297-311)
+        "view_std": jnp.sum(weights[..., None] * out["view_std"], axis=-2),
+        "view_std_normalized": jnp.sum(
+            weights[..., None] * out["view_std_normalized"], axis=-2
+        ),
+    }
+
+
+def render_image_gnt(
+    models,
+    params,
+    tgt_cam,
+    src_cams,
+    src_rgbs,
+    image_hw,
+    depth_range,
+    cfg: RenderConfig,
+    src_invalid_masks=None,
+):
+    """Render a full novel view with GNT.
+
+    Args:
+      models: (feature_net, gnt) modules.
+      params: {"feature_net": ..., "gnt": ...} pytrees.
+      tgt_cam: [34]; src_cams: [V, 34]; src_rgbs: [V, H, W, 3].
+      image_hw: static (H, W) of the *target* image.
+      depth_range: [2] scene near/far or [H, W, 2] per-ray (DyCheck).
+      cfg: static RenderConfig.
+
+    Returns dict of [rh, rw, C] maps: rgb, depth, inbound_cnt, dyn_cnt,
+    oob_mask, view_std(+normalized), and (if gnt_use_dyn_mask) dyn masks.
+    """
+    feature_net, gnt = models
+    h, w = image_hw
+    feats = feature_net.apply(params["feature_net"], src_rgbs)
+
+    rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
+        h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),
+        stride=cfg.render_stride,
+    )
+    n_rays = rh * rw
+    if depth_range.ndim == 1:
+        dr = jnp.broadcast_to(depth_range, (n_rays, 2))
+    else:
+        dr = depth_range[:: cfg.render_stride, :: cfg.render_stride].reshape(-1, 2)
+
+    tile = min(cfg.ray_tile, n_rays)
+    n_pad = -(-n_rays // tile) * tile
+    pad = n_pad - n_rays
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), mode="edge")
+
+    rays_o_t = pad_rays(rays_o).reshape(n_pad // tile, tile, 3)
+    rays_d_t = pad_rays(rays_d).reshape(n_pad // tile, tile, 3)
+    dr_t = pad_rays(dr).reshape(n_pad // tile, tile, 2)
+
+    def tile_fn(args):
+        o, d, r = args
+        return render_rays_gnt(
+            gnt,
+            params["gnt"],
+            o,
+            d,
+            r,
+            tgt_cam,
+            src_cams,
+            src_rgbs,
+            feats,
+            cfg,
+            src_invalid_masks=src_invalid_masks,
+        )
+
+    tiled = jax.lax.map(tile_fn, (rays_o_t, rays_d_t, dr_t))
+
+    def unpad(x):
+        flat = x.reshape((n_pad,) + x.shape[2:])[:n_rays]
+        return flat.reshape((rh, rw) + x.shape[2:])
+
+    out = {k: unpad(v) for k, v in tiled.items()}
+    n_src = src_rgbs.shape[0]
+    out["oob_mask"] = (
+        out["inbound_cnt"] < (cfg.mask_oob_n_proj_thres / n_src)
+    ).astype(jnp.float32)
+    if cfg.gnt_use_dyn_mask:
+        out["dyn_mask_any"] = (out["dyn_cnt"] > 0.0).astype(jnp.float32)
+        out["dyn_mask_all"] = (out["dyn_cnt"] == 1.0).astype(jnp.float32)
+        out["dyn_mask_thres"] = (
+            out["dyn_cnt"] >= (cfg.mask_invalid_n_proj_thres / n_src)
+        ).astype(jnp.float32)
+    return out

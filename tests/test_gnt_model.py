@@ -1,0 +1,182 @@
+"""Tests for GNT building blocks against torch oracles and invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pgdvs_tpu.models.gnt.network import (
+    GNT,
+    RayAttention,
+    ViewAttention,
+    masked_view_std,
+    sinusoidal_embed,
+)
+from pgdvs_tpu.models.gnt.feature_net import InstanceNorm, ReflectConv, ResUNet
+
+
+def test_sinusoidal_embed_channels_and_values():
+    x = jnp.asarray([[0.5, -1.0, 2.0]])
+    out = np.asarray(sinusoidal_embed(x, n_freqs=10, max_freq_log2=9.0))
+    assert out.shape == (1, 3 + 3 * 2 * 10)
+    np.testing.assert_allclose(out[0, :3], [0.5, -1.0, 2.0])
+    np.testing.assert_allclose(out[0, 3:6], np.sin([0.5, -1.0, 2.0]), rtol=1e-5)
+    np.testing.assert_allclose(out[0, 6:9], np.cos([0.5, -1.0, 2.0]), rtol=1e-5)
+
+
+def _ref_masked_std(k, valid):
+    """Numpy transcription of the reference's unique-invalid-count loop
+    semantics (transformer_network.py:87-150)."""
+    r, s, v, c = k.shape
+    std = np.zeros((r, s, c), np.float32)
+    nstd = np.zeros((r, s, c), np.float32)
+    for i in range(r):
+        for j in range(s):
+            vm = valid[i, j, :, 0] > 0
+            cnt = vm.sum()
+            if cnt == 0:
+                sub = k[i, j]  # all views (reference unmasks these rows)
+            elif cnt == 1:
+                continue  # zeros
+            else:
+                sub = k[i, j, vm]
+            std[i, j] = sub.std(axis=0, ddof=1)
+            nstd[i, j] = std[i, j] / (np.abs(sub).mean(axis=0) + 1e-6)
+    return std, nstd
+
+
+def test_masked_view_std_matches_reference_semantics():
+    rng = np.random.default_rng(0)
+    r, s, v, c = 3, 4, 5, 6
+    k = rng.normal(size=(r, s, v, c)).astype(np.float32)
+    valid = (rng.uniform(size=(r, s, v, 1)) > 0.4).astype(np.float32)
+    valid[0, 0] = 0.0  # all-invalid row
+    valid[0, 1] = 0.0
+    valid[0, 1, 2] = 1.0  # exactly-one-valid row
+    std, nstd = masked_view_std(jnp.asarray(k), jnp.asarray(valid))
+    ref_std, ref_nstd = _ref_masked_std(k, valid)
+    np.testing.assert_allclose(np.asarray(std), ref_std, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nstd), ref_nstd, atol=1e-4)
+
+
+def test_view_attention_mask_semantics():
+    """Attention must ignore invalid views; all-invalid rows fall back to
+    un-masked attention (finite outputs, weights sum to 1)."""
+    rng = np.random.default_rng(1)
+    r, s, v, c = 2, 3, 4, 16
+    module = ViewAttention(dim=c)
+    q = jnp.asarray(rng.normal(size=(r, s, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(r, s, v, c)), jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(r, s, v, 4)), jnp.float32)
+    mask = np.ones((r, s, v, 1), np.float32)
+    mask[0, 0, 1:] = 0.0  # only view 0 valid
+    mask[1, 2, :] = 0.0  # all invalid
+    params = module.init(jax.random.PRNGKey(0), q, k, pos, jnp.asarray(mask))
+    x, attn, _, _ = module.apply(params, q, k, pos, jnp.asarray(mask))
+    attn = np.asarray(attn)
+    assert np.isfinite(np.asarray(x)).all()
+    # masked views get zero attention
+    np.testing.assert_allclose(attn[0, 0, 1:], 0.0, atol=1e-7)
+    np.testing.assert_allclose(attn.sum(axis=2), 1.0, atol=1e-5)
+    # all-invalid row attends over every view (no zeros forced)
+    assert (attn[1, 2] > 0).all()
+
+
+def test_ray_attention_matches_numpy_softmax():
+    rng = np.random.default_rng(2)
+    r, s, c, heads = 2, 5, 16, 4
+    module = RayAttention(dim=c, n_heads=heads)
+    x = jnp.asarray(rng.normal(size=(r, s, c)), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x)
+    out, weights = module.apply(params, x)
+
+    p = params["params"]
+    q = np.asarray(x) @ np.asarray(p["q_fc"]["kernel"])
+    k = np.asarray(x) @ np.asarray(p["k_fc"]["kernel"])
+    v = np.asarray(x) @ np.asarray(p["v_fc"]["kernel"])
+    hd = c // heads
+
+    def split(t):
+        return t.reshape(r, s, heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    logits = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(hd)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    ref_out = (attn @ vh).transpose(0, 2, 1, 3).reshape(r, s, c)
+    ref_out = ref_out @ np.asarray(p["out_fc"]["kernel"]) + np.asarray(
+        p["out_fc"]["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(weights), attn.mean(axis=1)[:, 0, :], atol=1e-3
+    )
+
+
+def test_gnt_forward_shapes_and_weight_normalization():
+    rng = np.random.default_rng(3)
+    r, s, v, f = 6, 8, 3, 32
+    gnt = GNT(netwidth=64, depth=2, in_feat_ch=f)
+    args = (
+        jnp.asarray(rng.normal(size=(r, s, v, 3 + f)), jnp.float32),
+        jnp.asarray(rng.normal(size=(r, s, v, 4)), jnp.float32),
+        jnp.ones((r, s, v, 1)),
+        jnp.asarray(rng.normal(size=(r, s, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(r, 3)), jnp.float32),
+    )
+    params = gnt.init(jax.random.PRNGKey(0), *args)
+    out = jax.jit(gnt.apply)(params, *args)
+    assert out["rgb"].shape == (r, 3)
+    assert out["weights"].shape == (r, s)
+    assert out["view_std"].shape == (r, s, 3)  # depth + 1 layers
+    np.testing.assert_allclose(np.asarray(out["weights"]).sum(-1), 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# feature net primitives vs torch
+# ---------------------------------------------------------------------------
+
+
+def test_reflect_conv_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 9, 11, 3)).astype(np.float32)
+    mod = ReflectConv(features=5, kernel=3, stride=2)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+
+    kernel = np.asarray(params["params"]["Conv_0"]["kernel"])  # [kh, kw, in, out]
+    t_conv = torch.nn.Conv2d(3, 5, 3, stride=2, padding=1, padding_mode="reflect", bias=False)
+    t_conv.weight.data = torch.tensor(kernel.transpose(3, 2, 0, 1))
+    ref = t_conv(torch.tensor(x.transpose(0, 3, 1, 2))).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_instance_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 7, 8, 4)).astype(np.float32) * 3 + 1
+    mod = InstanceNorm()
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    t_norm = torch.nn.InstanceNorm2d(4, affine=True, track_running_stats=False)
+    t_norm.weight.data.fill_(1.0)
+    t_norm.bias.data.fill_(0.0)
+    ref = t_norm(torch.tensor(x.transpose(0, 3, 1, 2))).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_resunet_output_resolution():
+    rng = np.random.default_rng(6)
+    net = ResUNet(layers=(1, 1, 1), out_channels=8)
+    x = jnp.asarray(rng.normal(size=(2, 32, 44, 3)), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(net.apply)(params, x)
+    # 44 wide: encoder 44->22->11->6->3, decoder 3->6->12 (odd extents round
+    # up through the x2 upsample, same as the torch reference)
+    assert out.shape == (2, 8, 12, 8)
+
+    # odd sizes exercise the skip-connect padding
+    x2 = jnp.asarray(rng.normal(size=(1, 37, 51, 3)), jnp.float32)
+    out2 = jax.jit(net.apply)(params, x2)
+    assert out2.shape[0] == 1 and out2.shape[-1] == 8
