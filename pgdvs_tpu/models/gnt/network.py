@@ -83,11 +83,12 @@ def masked_view_std(k, valid, eps: float = TINY):
 class FeedForward(nn.Module):
     dim: int
     hid_dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(self.hid_dim, name="fc1")(x))
-        return nn.Dense(self.dim, name="fc2")(x)
+        x = nn.relu(nn.Dense(self.hid_dim, name="fc1", dtype=self.dtype)(x))
+        return nn.Dense(self.dim, name="fc2", dtype=self.dtype)(x)
 
 
 class ViewAttention(nn.Module):
@@ -99,23 +100,24 @@ class ViewAttention(nn.Module):
     """
 
     dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, q, k, pos, mask):
         # q: [..., S, C]; k: [..., S, V, C]; pos: [..., S, V, 4];
         # mask: [..., S, V, 1] (1 = valid)
-        qp = nn.Dense(self.dim, use_bias=False, name="q_fc")(q)
-        kp = nn.Dense(self.dim, use_bias=False, name="k_fc")(k)
-        vp = nn.Dense(self.dim, use_bias=False, name="v_fc")(kp)
+        qp = nn.Dense(self.dim, use_bias=False, name="q_fc", dtype=self.dtype)(q)
+        kp = nn.Dense(self.dim, use_bias=False, name="k_fc", dtype=self.dtype)(k)
+        vp = nn.Dense(self.dim, use_bias=False, name="v_fc", dtype=self.dtype)(kp)
 
         k_std, k_norm_std = masked_view_std(kp, mask)
 
-        pos_emb = nn.Dense(self.dim, name="pos_fc_1")(
-            nn.relu(nn.Dense(self.dim // 8, name="pos_fc_0")(pos))
+        pos_emb = nn.Dense(self.dim, name="pos_fc_1", dtype=self.dtype)(
+            nn.relu(nn.Dense(self.dim // 8, name="pos_fc_0", dtype=self.dtype)(pos))
         )
         logits = kp - qp[..., None, :] + pos_emb
-        logits = nn.Dense(self.dim, name="attn_fc_1")(
-            nn.relu(nn.Dense(self.dim // 8, name="attn_fc_0")(logits))
+        logits = nn.Dense(self.dim, name="attn_fc_1", dtype=self.dtype)(
+            nn.relu(nn.Dense(self.dim // 8, name="attn_fc_0", dtype=self.dtype)(logits))
         )
 
         cnt = jnp.sum(mask, axis=-2, keepdims=True)  # [..., S, 1, 1]
@@ -124,7 +126,7 @@ class ViewAttention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-2)  # over views
 
         x = jnp.sum((vp + pos_emb) * attn, axis=-2)  # [..., S, C]
-        x = nn.Dense(self.dim, name="out_fc")(x)
+        x = nn.Dense(self.dim, name="out_fc", dtype=self.dtype)(x)
         return x, attn, k_std, k_norm_std
 
 
@@ -132,16 +134,17 @@ class ViewTransformerBlock(nn.Module):
     """Pre-LN view-attention + feed-forward block (reference Transformer2D)."""
 
     dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, q, k, pos, mask):
-        x = nn.LayerNorm(epsilon=1e-6, name="attn_norm")(q)
-        x, attn, k_std, k_norm_std = ViewAttention(self.dim, name="attn")(
-            x, k, pos, mask
-        )
+        x = nn.LayerNorm(epsilon=1e-6, name="attn_norm", dtype=self.dtype)(q)
+        x, attn, k_std, k_norm_std = ViewAttention(
+            self.dim, dtype=self.dtype, name="attn"
+        )(x, k, pos, mask)
         x = x + q
-        y = nn.LayerNorm(epsilon=1e-6, name="ff_norm")(x)
-        y = FeedForward(self.dim, self.dim * 4, name="ff")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="ff_norm", dtype=self.dtype)(x)
+        y = FeedForward(self.dim, self.dim * 4, dtype=self.dtype, name="ff")(y)
         return y + x, attn, k_std, k_norm_std
 
 
@@ -150,6 +153,7 @@ class RayAttention(nn.Module):
 
     dim: int
     n_heads: int = 4
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -161,14 +165,14 @@ class RayAttention(nn.Module):
             t = t.reshape(t.shape[:-1] + (self.n_heads, hd))
             return jnp.swapaxes(t, -2, -3)  # [..., H, S, hd]
 
-        q = split(nn.Dense(self.dim, use_bias=False, name="q_fc")(x))
-        k = split(nn.Dense(self.dim, use_bias=False, name="k_fc")(x))
-        v = split(nn.Dense(self.dim, use_bias=False, name="v_fc")(x))
+        q = split(nn.Dense(self.dim, use_bias=False, name="q_fc", dtype=self.dtype)(x))
+        k = split(nn.Dense(self.dim, use_bias=False, name="k_fc", dtype=self.dtype)(x))
+        v = split(nn.Dense(self.dim, use_bias=False, name="v_fc", dtype=self.dtype)(x))
         logits = jnp.einsum("...qd,...kd->...qk", q, k) / jnp.sqrt(float(hd))
         attn = jax.nn.softmax(logits, axis=-1)  # [..., H, S, S]
         out = jnp.einsum("...qk,...kd->...qd", attn, v)
         out = jnp.swapaxes(out, -2, -3).reshape(x.shape[:-1] + (self.dim,))
-        out = nn.Dense(self.dim, name="out_fc")(out)
+        out = nn.Dense(self.dim, name="out_fc", dtype=self.dtype)(out)
         # reference quirk: per-sample weights = head-mean of the FIRST query
         # row of the attention matrix (transformer_network.py:336)
         weights = jnp.mean(attn, axis=-3)[..., 0, :]  # [..., S]
@@ -178,14 +182,17 @@ class RayAttention(nn.Module):
 class RayTransformerBlock(nn.Module):
     dim: int
     n_heads: int = 4
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-6, name="attn_norm")(x)
-        y, weights = RayAttention(self.dim, self.n_heads, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="attn_norm", dtype=self.dtype)(x)
+        y, weights = RayAttention(
+            self.dim, self.n_heads, dtype=self.dtype, name="attn"
+        )(y)
         x = x + y
-        z = nn.LayerNorm(epsilon=1e-6, name="ff_norm")(x)
-        z = FeedForward(self.dim, self.dim * 4, name="ff")(z)
+        z = nn.LayerNorm(epsilon=1e-6, name="ff_norm", dtype=self.dtype)(x)
+        z = FeedForward(self.dim, self.dim * 4, dtype=self.dtype, name="ff")(z)
         return x + z, weights
 
 
@@ -202,6 +209,9 @@ class GNT(nn.Module):
     in_feat_ch: int = 32
     n_freqs: int = 10
     max_freq_log2: float = 9.0
+    dtype: str = "float32"  # activation dtype; bfloat16 on TPU halves HBM
+    #                         traffic and rides the MXU natively; params and
+    #                         the final rgb/weights stay float32
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
@@ -223,8 +233,10 @@ class GNT(nn.Module):
             view_code[..., None, :], pts_code.shape[:-1] + (view_code.shape[-1],)
         )
 
-        h = nn.Dense(self.netwidth, name="rgbfeat_fc_0")(rgb_feat)
-        h = nn.Dense(self.netwidth, name="rgbfeat_fc_1")(nn.relu(h))
+        rgb_feat = rgb_feat.astype(self.dtype)
+        ray_diff = ray_diff.astype(self.dtype)
+        h = nn.Dense(self.netwidth, name="rgbfeat_fc_0", dtype=self.dtype)(rgb_feat)
+        h = nn.Dense(self.netwidth, name="rgbfeat_fc_1", dtype=self.dtype)(nn.relu(h))
         q = jnp.max(h, axis=-2)  # maxpool over views: [..., S, C]
 
         std0, nstd0 = masked_view_std(h, jnp.ones_like(mask))
@@ -236,22 +248,29 @@ class GNT(nn.Module):
         weights = None
         for i in range(self.depth):
             q, _attn, k_std, k_norm_std = ViewTransformerBlock(
-                self.netwidth, name=f"view_trans_{i}"
+                self.netwidth, dtype=self.dtype, name=f"view_trans_{i}"
             )(q, h, ray_diff, mask)
             view_std_list.append(jnp.mean(k_std, axis=-1))
             view_nstd_list.append(jnp.mean(k_norm_std, axis=-1))
             if i % 2 == 0:
-                q = jnp.concatenate([q, pts_code, view_code], axis=-1)
-                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_0")(q)
-                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_1")(nn.relu(q))
-            q, weights = RayTransformerBlock(self.netwidth, name=f"ray_trans_{i}")(q)
+                q = jnp.concatenate(
+                    [q, pts_code.astype(self.dtype), view_code.astype(self.dtype)],
+                    axis=-1,
+                )
+                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_0", dtype=self.dtype)(q)
+                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_1", dtype=self.dtype)(
+                    nn.relu(q)
+                )
+            q, weights = RayTransformerBlock(
+                self.netwidth, dtype=self.dtype, name=f"ray_trans_{i}"
+            )(q)
 
-        hq = nn.LayerNorm(name="norm")(q)
-        rgb = nn.Dense(3, name="rgb_fc")(jnp.mean(hq, axis=-2))
+        hq = nn.LayerNorm(name="norm", dtype=self.dtype)(q)
+        rgb = nn.Dense(3, name="rgb_fc", dtype=self.dtype)(jnp.mean(hq, axis=-2))
 
         return {
-            "rgb": rgb,
-            "weights": weights,
+            "rgb": rgb.astype(jnp.float32),
+            "weights": weights.astype(jnp.float32),
             "view_std": jnp.stack(view_std_list, axis=-1),
             "view_std_normalized": jnp.stack(view_nstd_list, axis=-1),
         }

@@ -51,7 +51,7 @@ class RenderConfig:
     softsplat_metric_abs_alpha: float = 100.0
 
     # --- TPU capacity knobs (static shapes) ------------------------------
-    ray_tile: int = 4096           # rays per scan tile in the GNT render
+    ray_tile: int = 2048           # rays per scan tile in the GNT render
     dyn_point_capacity: int = 0    # 0 = H*W (every pixel may be dynamic)
     knn_tile: int = 2048
 

@@ -29,9 +29,17 @@ from pgdvs_tpu.models.gnt.projector import epipolar_sample
 from pgdvs_tpu.renderers.config import RenderConfig
 
 
-def make_gnt_models(netwidth: int = 64, depth: int = 8, feat_ch: int = 32):
+def make_gnt_models(
+    netwidth: int = 64, depth: int = 8, feat_ch: int = 32, dtype: str = "bfloat16"
+):
+    """Build the (feature_net, gnt) pair.
+
+    dtype is the transformer activation dtype: bfloat16 is the TPU-native
+    choice (half the HBM traffic, MXU-native); pass float32 for bit-accurate
+    parity runs against ported torch weights.
+    """
     return ResUNet(out_channels=feat_ch), GNT(
-        netwidth=netwidth, depth=depth, in_feat_ch=feat_ch
+        netwidth=netwidth, depth=depth, in_feat_ch=feat_ch, dtype=dtype
     )
 
 

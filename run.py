@@ -1,0 +1,171 @@
+"""pgdvs_tpu CLI — evaluate / visualize novel-view synthesis.
+
+Counterpart of the reference launcher (``/root/reference/pgdvs/run.py``),
+minus torch.multiprocessing/NCCL: multi-chip scaling is a jax mesh inside
+one process (``pgdvs_tpu.parallel``); multi-host runs use
+``jax.distributed.initialize`` + ``--process-index/--process-count`` item
+striding (the reference's DistributedSampler semantics).
+
+Examples:
+  python run.py eval --dataset nvidia_eval --data-root /data \
+      --scene-ids Balloon1 --out-dir experiments/balloon1
+  python run.py vis --dataset nvidia_vis --data-root /data \
+      --scene-ids Balloon1 --out-dir experiments/balloon1_vis
+  python run.py bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pgdvs_tpu_jax_cache")
+
+LOGGER = logging.getLogger("pgdvs_tpu")
+
+
+def build_render_config(args):
+    from pgdvs_tpu.renderers.config import RenderConfig
+
+    fields = {f.name for f in dataclasses.fields(RenderConfig)}
+    overrides = {}
+    for kv in args.render_cfg or []:
+        k, _, v = kv.partition("=")
+        if k not in fields:
+            raise SystemExit(f"unknown render_cfg field {k!r}; known: {sorted(fields)}")
+        cur = getattr(RenderConfig(), k)
+        if isinstance(cur, bool):
+            overrides[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            overrides[k] = int(v)
+        elif isinstance(cur, float):
+            overrides[k] = float(v)
+        else:
+            overrides[k] = v
+    return RenderConfig(**overrides)
+
+
+def build_dataset(args):
+    from pgdvs_tpu.data.combined import CombinedDataset
+
+    kwargs = {"data_root": args.data_root}
+    if args.scene_ids:
+        kwargs["scene_ids"] = args.scene_ids
+    for kv in args.dataset_arg or []:
+        k, _, v = kv.partition("=")
+        kwargs[k] = v
+    return CombinedDataset([(args.dataset, kwargs)])
+
+
+def build_models_and_params(args, cfg):
+    import jax
+
+    from pgdvs_tpu.models.gnt.weight_port import load_gnt_checkpoint
+    from pgdvs_tpu.renderers.static_gnt import init_gnt_params, make_gnt_models
+
+    models = make_gnt_models(dtype=args.gnt_dtype)
+    params = load_gnt_checkpoint(args.gnt_ckpt)
+    if params is None:
+        LOGGER.warning(
+            "no GNT checkpoint found (set --gnt-ckpt or PGDVS_CKPT_DIR); "
+            "using random weights — renders will be structurally valid but "
+            "not photometric"
+        )
+        params = init_gnt_params(jax.random.PRNGKey(0), *models, n_src=2)
+    return models, params
+
+
+def cmd_eval(args):
+    from pgdvs_tpu.engines.evaluator import Evaluator
+    from pgdvs_tpu.metrics.lpips_jax import load_torch_weights
+
+    cfg = build_render_config(args)
+    dataset = build_dataset(args)
+    models, params = build_models_and_params(args, cfg)
+    lpips_params = load_torch_weights()
+    if lpips_params is None:
+        LOGGER.warning("LPIPS weights unavailable; reporting PSNR/SSIM only")
+    ev = Evaluator(
+        models,
+        params,
+        cfg,
+        static_mode=args.static_mode,
+        out_dir=args.out_dir,
+        lpips_params=lpips_params,
+        save_vis=args.save_vis,
+    )
+    result = ev.run(
+        dataset,
+        process_index=args.process_index,
+        process_count=args.process_count,
+        max_items=args.max_items,
+    )
+    print(json.dumps(result, indent=2))
+    if args.out_dir:
+        with open(pathlib.Path(args.out_dir) / "summary.json", "w") as f:
+            json.dump(result, f, indent=2)
+
+
+def cmd_vis(args):
+    from pgdvs_tpu.engines.visualizer import Visualizer
+
+    cfg = build_render_config(args)
+    dataset = build_dataset(args)
+    models, params = build_models_and_params(args, cfg)
+    out = Visualizer(
+        models, params, cfg, args.out_dir, static_mode=args.static_mode
+    ).run(dataset)
+    print(f"wrote {out}")
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path(str(pathlib.Path(__file__).parent / "bench.py"), run_name="__main__")
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+    )
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--dataset", default="nvidia_eval")
+        p.add_argument("--data-root", default=".")
+        p.add_argument("--scene-ids", nargs="*", default=None)
+        p.add_argument("--dataset-arg", nargs="*", default=None, metavar="K=V")
+        p.add_argument("--render-cfg", nargs="*", default=None, metavar="K=V")
+        p.add_argument("--static-mode", default="gnt", choices=["gnt", "geo"])
+        p.add_argument("--gnt-ckpt", default=None)
+        p.add_argument("--gnt-dtype", default="bfloat16")
+        p.add_argument("--out-dir", default=None)
+        p.add_argument("--process-index", type=int, default=0)
+        p.add_argument("--process-count", type=int, default=1)
+
+    pe = sub.add_parser("eval", help="evaluate on a dataset")
+    common(pe)
+    pe.add_argument("--max-items", type=int, default=-1)
+    pe.add_argument("--save-vis", action="store_true")
+    pe.set_defaults(fn=cmd_eval)
+
+    pv = sub.add_parser("vis", help="render a visualization trajectory")
+    common(pv)
+    pv.set_defaults(fn=cmd_vis)
+
+    pb = sub.add_parser("bench", help="run the throughput benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

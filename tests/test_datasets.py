@@ -1,0 +1,171 @@
+"""Dataset integration tests: write a synthetic scene to disk in the exact
+NVIDIA on-disk layout, read it back through the dataset classes, validate the
+contract, and render end-to-end from it."""
+
+import pathlib
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from pgdvs_tpu.data import synthetic
+from pgdvs_tpu.data.nvidia_eval import N_CAMS, NvidiaEvalDataset
+
+H, W = 48, 64
+N_FRAMES = 6
+
+
+@pytest.fixture(scope="module")
+def fake_scene(tmp_path_factory):
+    """Synthesize a Balloon1-like scene directory from the analytic scene."""
+    root = tmp_path_factory.mktemp("nvidia_data")
+    scene = "Balloon1"
+    dense = root / "raw" / scene / "dense"
+    (dense / "mv_images").mkdir(parents=True)
+    (dense / "mv_masks").mkdir()
+    depth_dir = root / "depths" / scene / "disp"
+    depth_dir.mkdir(parents=True)
+    mask_dir = root / "flowmask" / scene / "dense/masks/final"
+    mask_dir.mkdir(parents=True)
+    flow_dirs = {}
+    for interval in (1, 2):
+        flow_dirs[interval] = (
+            root / "flowmask" / scene / f"dense/flows/interval_{interval}"
+        )
+        flow_dirs[interval].mkdir(parents=True)
+
+    k = synthetic.intrinsics(H, W)
+    times = np.linspace(0.0, 1.0, N_FRAMES)
+    poses = [synthetic.camera_pose(i, N_FRAMES) for i in range(N_FRAMES)]
+    frames = [
+        synthetic.render_frame(H, W, poses[i], times[i]) for i in range(N_FRAMES)
+    ]
+
+    # poses_bounds_cvd.npy: invert the loader's conventions
+    # OpenCV c2w -> LLFF [down, right, back] stored rows
+    rows = []
+    for i in range(N_FRAMES):
+        c2w = poses[i].copy()
+        c2w[..., 1:3] *= -1  # opencv -> [right, up, back]
+        m = c2w[:3, :4]
+        # [right, up, back] -> [down, right, back] (inverse of loader concat)
+        llff = np.concatenate([-m[:, 1:2], m[:, 0:1], m[:, 2:4]], axis=1)
+        hwf = np.array([[H], [W], [k[0, 0]]])
+        rows.append(np.concatenate([llff, hwf], axis=1).ravel().tolist() + [0.1, 10.0])
+    np.save(dense / "poses_bounds_cvd.npy", np.asarray(rows))
+
+    for i in range(N_FRAMES):
+        frame_dir = dense / "mv_images" / f"{i:05d}"
+        frame_dir.mkdir()
+        mask_frame_dir = dense / "mv_masks" / f"{i:05d}"
+        mask_frame_dir.mkdir()
+        f = frames[i]
+        # mono camera for frame i is cam i%12; write that image (+ one other
+        # viewpoint rendered from the same scene for a multi-cam target)
+        # rig "cameras" are the stored poses; with N_FRAMES < 12 the mono
+        # camera for frame i is simply pose i, plus one extra viewpoint
+        for cam in {i % N_CAMS, (i + 1) % N_FRAMES}:
+            fr = synthetic.render_frame(H, W, poses[cam], times[i])
+            PIL.Image.fromarray((fr["rgb"] * 255).astype(np.uint8)).save(
+                frame_dir / f"cam{cam + 1:02d}.png"
+            )
+            PIL.Image.fromarray(
+                (fr["dyn_mask"][..., 0] * 255).astype(np.uint8)
+            ).save(mask_frame_dir / f"cam{cam + 1:02d}.png")
+        np.save(depth_dir / f"{i:05d}.npy", 1.0 / f["depth"][..., 0])
+        PIL.Image.fromarray((f["dyn_mask"][..., 0] > 0)).save(
+            mask_dir / f"{i:05d}_final.png"
+        )
+    for interval in (1, 2):
+        for i in range(N_FRAMES - interval):
+            for a, b in ((i, i + interval), (i + interval, i)):
+                fa = frames[a]
+                flow = synthetic.flow_between(
+                    H, W, fa, poses[a], times[a], poses[b], times[b]
+                )
+                np.savez(
+                    flow_dirs[interval] / f"{a:05d}_{b:05d}.npz",
+                    flow=flow,
+                    coord_diff=np.zeros((H, W, 2), np.float32),
+                )
+    return root
+
+
+def test_nvidia_dataset_contract(fake_scene):
+    ds = NvidiaEvalDataset(
+        data_root=str(fake_scene),
+        raw_data_dir="raw",
+        depth_data_dir="depths",
+        mask_data_dir="flowmask",
+        flow_data_dir="flowmask",
+        n_src_views_spatial=3,
+        with_track_sources=True,
+        tgt_height=H,
+    )
+    assert len(ds) > 0
+    data = ds[1]
+    h, w = data["rgb_tgt"].shape[:2]
+    assert data["rgb_src_spatial"].shape == (3, h, w, 3)
+    assert data["rgb_src_temporal"].shape == (2, h, w, 3)
+    assert data["flat_cam_tgt"].shape == (34,)
+    assert data["depth_range"].shape == (2,)
+    assert data["depth_range"][0] > 0
+    assert data["depth_range"][1] > data["depth_range"][0]
+    assert data["flow_fwd"].shape == (h, w, 2)
+    assert data["rgb_src_track_fwd"].shape[0] == 5
+    assert np.isfinite(data["depth_src_temporal"]).all()
+    # depth range must bracket the actual scene depths (~3..6)
+    assert data["depth_range"][0] < synthetic.Z_DYN
+    assert data["depth_range"][1] > synthetic.Z_BG * 0.9
+
+
+def test_nvidia_dataset_poses_roundtrip(fake_scene):
+    """Camera written in LLFF convention must load back as the OpenCV pose."""
+    ds = NvidiaEvalDataset(
+        data_root=str(fake_scene),
+        raw_data_dir="raw",
+        depth_data_dir="depths",
+        mask_data_dir="flowmask",
+        flow_data_dir="flowmask",
+        n_src_views_spatial=3,
+        tgt_height=H,
+    )
+    _, all_c2w, _ = ds._cams("Balloon1")
+    for i in range(N_FRAMES):
+        np.testing.assert_allclose(
+            all_c2w[i], synthetic.camera_pose(i, N_FRAMES), atol=1e-5
+        )
+
+
+def test_dataset_feeds_renderer(fake_scene):
+    """Full pipeline: disk -> dataset -> dynamic render reconstructs GT."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.dynamic import render_dynamic
+
+    ds = NvidiaEvalDataset(
+        data_root=str(fake_scene),
+        raw_data_dir="raw",
+        depth_data_dir="depths",
+        mask_data_dir="flowmask",
+        flow_data_dir="flowmask",
+        n_src_views_spatial=3,
+        tgt_height=H,
+    )
+    # pick an in-mono item with both temporal neighbors
+    data = None
+    for d in ds:
+        if (
+            d["misc"]["tgt_frame_id"] % N_CAMS == d["misc"]["tgt_cam_id"]
+            and d["misc"]["n_actual_temporal"] == 2
+        ):
+            data = d
+            break
+    assert data is not None
+    dev = {k: jnp.asarray(v) for k, v in data.items() if not isinstance(v, (dict, str))}
+    out = render_dynamic(dev, RenderConfig(knn_tile=512), jax.random.PRNGKey(0))
+    mask = np.asarray(out["mask"])
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert mask.sum() > 20  # dynamic square reprojected into the target
