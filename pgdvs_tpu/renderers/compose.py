@@ -31,7 +31,7 @@ def render_novel_view(
     cfg: RenderConfig,
     key,
     static_mode: str = "gnt",
-    track_render: Optional[dict] = None,
+    tracker=None,
 ):
     """Render one novel (space, time) view.
 
@@ -47,7 +47,8 @@ def render_novel_view(
       cfg: static RenderConfig.
       key: PRNG key (dynamic branch randomization).
       static_mode: 'gnt' | 'geo'.
-      track_render: optional tracker output {'rgb', 'mask'}.
+      tracker: optional point tracker (pgdvs_tpu.models.tracking) enabling
+        the track branch when cfg.dyn_render_track_temporal == 'no_tgt'.
 
     Returns dict with combined_rgb and every intermediate the evaluator and
     visualizer consume.
@@ -90,7 +91,7 @@ def render_novel_view(
     else:
         raise ValueError(static_mode)
 
-    dyn = render_dynamic(data, cfg, key, track_render=track_render)
+    dyn = render_dynamic(data, cfg, key, tracker=tracker)
     dyn_rgb = dyn["rgb"]
     dyn_mask = dyn["mask"]
 

@@ -137,7 +137,7 @@ def render_dynamic(
     data,
     cfg: RenderConfig,
     key,
-    track_render: Optional[dict] = None,
+    tracker=None,
 ):
     """Render the dynamic layer for one novel view.
 
@@ -145,12 +145,14 @@ def render_dynamic(
       data: dict with the temporal slice of the renderer input contract
         (rgb/dyn_mask/depth_src_temporal [2, H, W, C], flow_fwd [H, W, 2],
         flow_fwd_occ_mask, flat_cam_src_temporal [2, 34], flat_cam_tgt [34],
-        time_src_temporal [2], time_tgt [1]).
+        time_src_temporal [2], time_tgt [1]); track-source keys when a
+        tracker is enabled.
       cfg: static RenderConfig.
       key: PRNG key for the static-region color randomization.
-      track_render: optional {'rgb': [H,W,3], 'mask': [H,W,1]} from the
-        tracker branch, merged into pixels the splat leaves uncovered
-        (pgdvs_renderer_dyn.py:229-235).
+      tracker: optional point tracker; with
+        cfg.dyn_render_track_temporal == 'no_tgt' the track branch recovers
+        content occluded in the two closest frames and its render is merged
+        into pixels the splat leaves uncovered (pgdvs_renderer_dyn.py:229-235).
 
     Returns dict: rgb [H, W, 3], mask [H, W, 1], plus per-branch intermediates.
     """
@@ -212,6 +214,22 @@ def render_dynamic(
         "temporal_closest_mask": mask,
         "pcl": pcl,
     }
+
+    track_render = None
+    if tracker is not None and cfg.dyn_render_track_temporal == "no_tgt":
+        from pgdvs_tpu.renderers.dynamic_track import render_with_track
+
+        track_render = render_with_track(
+            data,
+            cfg,
+            tracker,
+            base_pcl={
+                "points": pcl["points"],
+                "colors": pcl["colors"],
+                "valid": pcl["valid"],
+                "nn_dist_thres": pcl["nn_dist_thres"],
+            },
+        )
 
     if track_render is not None:
         m_track = (
