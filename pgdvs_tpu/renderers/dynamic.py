@@ -204,10 +204,18 @@ def render_dynamic(
             valid=pcl["valid"],
             radius=cfg.dyn_render_pcl_pt_radius,
         )
-    else:
-        raise NotImplementedError(
-            f"dyn_render_type={cfg.dyn_render_type!r} (mesh raster: todo)"
+    elif cfg.dyn_render_type == "mesh":
+        from pgdvs_tpu.kernels.mesh_raster import rasterize_grid_mesh
+
+        rgb, mask = rasterize_grid_mesh(
+            pcl["points"],
+            pcl["colors"],
+            pcl["valid"],
+            data["flat_cam_tgt"],
+            (h, w),
         )
+    else:
+        raise ValueError(f"unknown dyn_render_type={cfg.dyn_render_type!r}")
 
     out = {
         "temporal_closest_rgb": rgb,
