@@ -196,6 +196,43 @@ class RayTransformerBlock(nn.Module):
         return x + z, weights
 
 
+class GNTBlockPair(nn.Module):
+    """Two consecutive GNT blocks as a scan body.
+
+    The reference alternates [view transformer -> (q_fc on even blocks) ->
+    ray transformer]; grouping an (even, odd) pair makes every iteration
+    identical, so the whole depth-8 stack compiles as ONE scanned body
+    (4 iterations) instead of 8 inlined blocks — ~4x smaller HLO, which
+    matters because this environment's TPU compiles are remote and slow.
+    """
+
+    dim: int
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, q, h, ray_diff, mask, pts_code, view_code):
+        stds, nstds = [], []
+        q, _a, k_std, k_nstd = ViewTransformerBlock(
+            self.dim, dtype=self.dtype, name="view_trans_a"
+        )(q, h, ray_diff, mask)
+        stds.append(jnp.mean(k_std, axis=-1))
+        nstds.append(jnp.mean(k_nstd, axis=-1))
+        q = jnp.concatenate([q, pts_code, view_code], axis=-1)
+        q = nn.Dense(self.dim, name="q_fc_0", dtype=self.dtype)(q)
+        q = nn.Dense(self.dim, name="q_fc_1", dtype=self.dtype)(nn.relu(q))
+        q, _w = RayTransformerBlock(self.dim, dtype=self.dtype, name="ray_trans_a")(q)
+
+        q, _a, k_std, k_nstd = ViewTransformerBlock(
+            self.dim, dtype=self.dtype, name="view_trans_b"
+        )(q, h, ray_diff, mask)
+        stds.append(jnp.mean(k_std, axis=-1))
+        nstds.append(jnp.mean(k_nstd, axis=-1))
+        q, weights = RayTransformerBlock(
+            self.dim, dtype=self.dtype, name="ray_trans_b"
+        )(q)
+        return q, (weights, jnp.stack(stds, -1), jnp.stack(nstds, -1))
+
+
 class GNT(nn.Module):
     """Full GNT: per-sample view aggregation + along-ray reasoning.
 
@@ -245,25 +282,38 @@ class GNT(nn.Module):
         view_std_list = [jnp.mean(std0, axis=-1)]
         view_nstd_list = [jnp.mean(nstd0, axis=-1)]
 
-        weights = None
-        for i in range(self.depth):
-            q, _attn, k_std, k_norm_std = ViewTransformerBlock(
-                self.netwidth, dtype=self.dtype, name=f"view_trans_{i}"
-            )(q, h, ray_diff, mask)
-            view_std_list.append(jnp.mean(k_std, axis=-1))
-            view_nstd_list.append(jnp.mean(k_norm_std, axis=-1))
-            if i % 2 == 0:
-                q = jnp.concatenate(
-                    [q, pts_code.astype(self.dtype), view_code.astype(self.dtype)],
-                    axis=-1,
-                )
-                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_0", dtype=self.dtype)(q)
-                q = nn.Dense(self.netwidth, name=f"q_fc_{i}_1", dtype=self.dtype)(
-                    nn.relu(q)
-                )
-            q, weights = RayTransformerBlock(
-                self.netwidth, dtype=self.dtype, name=f"ray_trans_{i}"
-            )(q)
+        assert self.depth % 2 == 0, "GNT depth must be even (scanned in pairs)"
+        n_pairs = self.depth // 2
+        pts_code = pts_code.astype(self.dtype)
+        view_code = view_code.astype(self.dtype)
+
+        scanned = nn.scan(
+            GNTBlockPair,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=n_pairs,
+        )(self.netwidth, dtype=self.dtype, name="block_pairs")
+
+        q, (weights_all, stds_all, nstds_all) = scanned(
+            q, h, ray_diff, mask, pts_code, view_code
+        )
+        weights = weights_all[-1]
+
+        # per-layer diagnostics: [pairs, ..., S, 2] -> list order block 0..7
+        std_layers = jnp.moveaxis(stds_all, 0, -2).reshape(
+            stds_all.shape[1:-1] + (self.depth,)
+        )
+        nstd_layers = jnp.moveaxis(nstds_all, 0, -2).reshape(
+            nstds_all.shape[1:-1] + (self.depth,)
+        )
+        view_std = jnp.concatenate(
+            [view_std_list[0][..., None], std_layers], axis=-1
+        )
+        view_nstd = jnp.concatenate(
+            [view_nstd_list[0][..., None], nstd_layers], axis=-1
+        )
 
         hq = nn.LayerNorm(name="norm", dtype=self.dtype)(q)
         rgb = nn.Dense(3, name="rgb_fc", dtype=self.dtype)(jnp.mean(hq, axis=-2))
@@ -271,6 +321,6 @@ class GNT(nn.Module):
         return {
             "rgb": rgb.astype(jnp.float32),
             "weights": weights.astype(jnp.float32),
-            "view_std": jnp.stack(view_std_list, axis=-1),
-            "view_std_normalized": jnp.stack(view_nstd_list, axis=-1),
+            "view_std": view_std,
+            "view_std_normalized": view_nstd,
         }

@@ -94,49 +94,76 @@ def port_feature_net(sd) -> dict:
     return p
 
 
+def _view_trans(sd, prefix):
+    return {
+        "attn_norm": _norm(sd, f"{prefix}.attn_norm"),
+        "ff_norm": _norm(sd, f"{prefix}.ff_norm"),
+        "attn": {
+            "q_fc": _dense(sd, f"{prefix}.attn.q_fc", bias=False),
+            "k_fc": _dense(sd, f"{prefix}.attn.k_fc", bias=False),
+            "v_fc": _dense(sd, f"{prefix}.attn.v_fc", bias=False),
+            "pos_fc_0": _dense(sd, f"{prefix}.attn.pos_fc.0"),
+            "pos_fc_1": _dense(sd, f"{prefix}.attn.pos_fc.2"),
+            "attn_fc_0": _dense(sd, f"{prefix}.attn.attn_fc.0"),
+            "attn_fc_1": _dense(sd, f"{prefix}.attn.attn_fc.2"),
+            "out_fc": _dense(sd, f"{prefix}.attn.out_fc"),
+        },
+        "ff": {
+            "fc1": _dense(sd, f"{prefix}.ff.fc1"),
+            "fc2": _dense(sd, f"{prefix}.ff.fc2"),
+        },
+    }
+
+
+def _ray_trans(sd, prefix):
+    return {
+        "attn_norm": _norm(sd, f"{prefix}.attn_norm"),
+        "ff_norm": _norm(sd, f"{prefix}.ff_norm"),
+        "attn": {
+            "q_fc": _dense(sd, f"{prefix}.attn.q_fc", bias=False),
+            "k_fc": _dense(sd, f"{prefix}.attn.k_fc", bias=False),
+            "v_fc": _dense(sd, f"{prefix}.attn.v_fc", bias=False),
+            "out_fc": _dense(sd, f"{prefix}.attn.out_fc"),
+        },
+        "ff": {
+            "fc1": _dense(sd, f"{prefix}.ff.fc1"),
+            "fc2": _dense(sd, f"{prefix}.ff.fc2"),
+        },
+    }
+
+
+def _stack_trees(trees):
+    """Stack a list of identically-structured dicts along a new leading dim
+    (the nn.scan parameter layout: params indexed [pair, ...])."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
 def port_gnt(sd, depth: int = 8) -> dict:
-    """torch GNT state dict -> flax GNT params['params']."""
+    """torch GNT state dict -> flax GNT params['params'].
+
+    Blocks are stored scanned-in-pairs (see GNTBlockPair): torch block
+    2p -> slot 'a' of pair p, block 2p+1 -> slot 'b'.
+    """
     p = {}
     p["rgbfeat_fc_0"] = _dense(sd, "rgbfeat_fc.0")
     p["rgbfeat_fc_1"] = _dense(sd, "rgbfeat_fc.2")
-    for i in range(depth):
-        vt = f"view_crosstrans.{i}"
-        p[f"view_trans_{i}"] = {
-            "attn_norm": _norm(sd, f"{vt}.attn_norm"),
-            "ff_norm": _norm(sd, f"{vt}.ff_norm"),
-            "attn": {
-                "q_fc": _dense(sd, f"{vt}.attn.q_fc", bias=False),
-                "k_fc": _dense(sd, f"{vt}.attn.k_fc", bias=False),
-                "v_fc": _dense(sd, f"{vt}.attn.v_fc", bias=False),
-                "pos_fc_0": _dense(sd, f"{vt}.attn.pos_fc.0"),
-                "pos_fc_1": _dense(sd, f"{vt}.attn.pos_fc.2"),
-                "attn_fc_0": _dense(sd, f"{vt}.attn.attn_fc.0"),
-                "attn_fc_1": _dense(sd, f"{vt}.attn.attn_fc.2"),
-                "out_fc": _dense(sd, f"{vt}.attn.out_fc"),
-            },
-            "ff": {
-                "fc1": _dense(sd, f"{vt}.ff.fc1"),
-                "fc2": _dense(sd, f"{vt}.ff.fc2"),
-            },
-        }
-        rt = f"view_selftrans.{i}"
-        p[f"ray_trans_{i}"] = {
-            "attn_norm": _norm(sd, f"{rt}.attn_norm"),
-            "ff_norm": _norm(sd, f"{rt}.ff_norm"),
-            "attn": {
-                "q_fc": _dense(sd, f"{rt}.attn.q_fc", bias=False),
-                "k_fc": _dense(sd, f"{rt}.attn.k_fc", bias=False),
-                "v_fc": _dense(sd, f"{rt}.attn.v_fc", bias=False),
-                "out_fc": _dense(sd, f"{rt}.attn.out_fc"),
-            },
-            "ff": {
-                "fc1": _dense(sd, f"{rt}.ff.fc1"),
-                "fc2": _dense(sd, f"{rt}.ff.fc2"),
-            },
-        }
-        if i % 2 == 0:
-            p[f"q_fc_{i}_0"] = _dense(sd, f"q_fcs.{i}.0")
-            p[f"q_fc_{i}_1"] = _dense(sd, f"q_fcs.{i}.2")
+
+    pairs = []
+    for pi in range(depth // 2):
+        a, b = 2 * pi, 2 * pi + 1
+        pairs.append(
+            {
+                "view_trans_a": _view_trans(sd, f"view_crosstrans.{a}"),
+                "ray_trans_a": _ray_trans(sd, f"view_selftrans.{a}"),
+                "view_trans_b": _view_trans(sd, f"view_crosstrans.{b}"),
+                "ray_trans_b": _ray_trans(sd, f"view_selftrans.{b}"),
+                "q_fc_0": _dense(sd, f"q_fcs.{a}.0"),
+                "q_fc_1": _dense(sd, f"q_fcs.{a}.2"),
+            }
+        )
+    p["block_pairs"] = _stack_trees(pairs)
     p["norm"] = _norm(sd, "norm")
     p["rgb_fc"] = _dense(sd, "rgb_fc")
     return p

@@ -81,17 +81,18 @@ def test_trainer_step_reduces_loss_and_checkpoints(setup, tmp_path):
         mesh=mesh,
         ckpt_dir=str(tmp_path / "ckpts"),
     )
-    losses = [tr.train_epoch([data, data], seed=i) for i in range(3)]
+    losses = [tr.train_epoch([data, data], seed=i) for i in range(6)]
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]  # photometric loss decreases
-    assert len(list_checkpoints(tmp_path / "ckpts")) == 3
+    # photometric loss decreases over training (averaged to damp step noise)
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+    assert len(list_checkpoints(tmp_path / "ckpts")) == 6
 
     # resume restores step count
     tr2 = Trainer(
         models, params, cfg, n_rays_per_view=64, mesh=mesh,
         ckpt_dir=str(tmp_path / "ckpts"),
     ).resume()
-    assert tr2.epoch == 3 and tr2.step == tr.step
+    assert tr2.epoch == 6 and tr2.step == tr.step
 
 
 def test_sharded_render_matches_single_device(setup):
