@@ -17,6 +17,7 @@ indexing that XLA lowers efficiently on TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -26,6 +27,34 @@ def _gather_pixels(img, ix, iy):
     flat = img.reshape(h * w, -1)
     idx = iy * w + ix
     return jnp.take(flat, idx, axis=0)
+
+
+def gather_2x2(img, x0, y0):
+    """Fetch the 2x2xC footprint at integer corner (x0, y0) in ONE gather.
+
+    TPU note: gathers cost per *row*; fetching the whole bilinear footprint
+    as a single (2, 2, C) patch via lax.gather slice_sizes is ~4x fewer
+    gather rows than four independent pixel lookups — this is the hot
+    memory op of the epipolar sampler. Out-of-range starts are clamped by
+    gather's CLIP mode (callers zero out-of-range taps via weights).
+
+    Args: img [H, W, C]; x0/y0 int32 [N]. Returns [N, 2, 2, C] (y-major).
+    """
+    n = x0.shape[0]
+    c = img.shape[-1]
+    idx = jnp.stack([y0, x0], axis=-1)  # [N, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    return jax.lax.gather(
+        img,
+        idx,
+        dnums,
+        slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
 
 
 def bilinear_sample(img, x, y, zero_pad: bool = True):
@@ -43,28 +72,34 @@ def bilinear_sample(img, x, y, zero_pad: bool = True):
     Returns: [..., C].
     """
     h, w = img.shape[0], img.shape[1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
+    shape = x.shape
+    xf = x.reshape(-1)
+    yf = y.reshape(-1)
+    # patch start, clipped to [0, dim-2] (the window always covers every
+    # in-range tap; gather CLIP mode enforces the same clamp)
+    sx = jnp.clip(jnp.floor(xf), 0, w - 2)
+    sy = jnp.clip(jnp.floor(yf), 0, h - 2)
+    patch = gather_2x2(img, sx.astype(jnp.int32), sy.astype(jnp.int32))
 
-    wx1 = x - x0
-    wy1 = y - y0
-    wx0 = 1.0 - wx1
-    wy0 = 1.0 - wy1
+    if zero_pad:
+        # per-column weights from the column's true coordinate: out-of-range
+        # taps get weight 0 automatically (|x - coord| >= 1)
+        wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - sx))
+        wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - (sx + 1.0)))
+        wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - sy))
+        wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - (sy + 1.0)))
+    else:
+        # edge-clamp: interpolate at the clamped coordinate
+        fx = jnp.clip(xf, 0, w - 1.0) - sx
+        fy = jnp.clip(yf, 0, h - 1.0) - sy
+        wx0, wx1 = 1.0 - fx, fx
+        wy0, wy1 = 1.0 - fy, fy
 
-    out = 0.0
-    for xi, wxi in ((x0, wx0), (x1, wx1)):
-        for yi, wyi in ((y0, wy0), (y1, wy1)):
-            ix = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            iy = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            tap = _gather_pixels(img, ix, iy)
-            wgt = wxi * wyi
-            if zero_pad:
-                valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-                wgt = jnp.where(valid, wgt, 0.0)
-            out = out + tap * wgt[..., None].astype(img.dtype)
-    return out
+    wgt = jnp.stack(
+        [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
+    ).astype(img.dtype)  # [N, 4]
+    out = jnp.einsum("npc,np->nc", patch.reshape(len(xf), 4, -1), wgt)
+    return out.reshape(shape + (img.shape[-1],))
 
 
 def nearest_sample(img, x, y):

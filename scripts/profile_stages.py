@@ -10,8 +10,13 @@ Prints one JSON line per stage.
 
 import json
 import os
+import pathlib
+import sys
 import time
 
+# NOTE: use sys.path, not PYTHONPATH — this environment's TPU plugin fails to
+# register when PYTHONPATH is set
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pgdvs_tpu_jax_cache")
 
 import numpy as np
