@@ -72,13 +72,20 @@ def bilinear_sample(img, x, y, zero_pad: bool = True):
     Returns: [..., C].
     """
     h, w = img.shape[0], img.shape[1]
+    if h < 2 or w < 2:
+        # degenerate dims: edge-pad so the 2x2 patch gather is well-formed
+        # (weights below still use the ORIGINAL h/w, so padded texels only
+        # ever receive zero weight / clamp-consistent weight)
+        img = jnp.pad(
+            img, ((0, max(2 - h, 0)), (0, max(2 - w, 0)), (0, 0)), mode="edge"
+        )
     shape = x.shape
     xf = x.reshape(-1)
     yf = y.reshape(-1)
     # patch start, clipped to [0, dim-2] (the window always covers every
     # in-range tap; gather CLIP mode enforces the same clamp)
-    sx = jnp.clip(jnp.floor(xf), 0, w - 2)
-    sy = jnp.clip(jnp.floor(yf), 0, h - 2)
+    sx = jnp.clip(jnp.floor(xf), 0, max(w - 2, 0))
+    sy = jnp.clip(jnp.floor(yf), 0, max(h - 2, 0))
     patch = gather_2x2(img, sx.astype(jnp.int32), sy.astype(jnp.int32))
 
     if zero_pad:

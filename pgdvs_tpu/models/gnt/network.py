@@ -101,6 +101,7 @@ class ViewAttention(nn.Module):
 
     dim: int
     dtype: str = "float32"
+    ret_view_std: bool = True
 
     @nn.compact
     def __call__(self, q, k, pos, mask):
@@ -110,7 +111,14 @@ class ViewAttention(nn.Module):
         kp = nn.Dense(self.dim, use_bias=False, name="k_fc", dtype=self.dtype)(k)
         vp = nn.Dense(self.dim, use_bias=False, name="v_fc", dtype=self.dtype)(kp)
 
-        k_std, k_norm_std = masked_view_std(kp, mask)
+        if self.ret_view_std:
+            k_std, k_norm_std = masked_view_std(kp, mask)
+        else:
+            # diagnostics disabled: the std statistics are saved-only outputs
+            # (never composited into rgb); skipping them removes several full
+            # HBM passes over the [S, V, C] activations per block
+            zero = jnp.zeros(kp.shape[:-2] + (kp.shape[-1],), kp.dtype)
+            k_std, k_norm_std = zero, zero
 
         pos_emb = nn.Dense(self.dim, name="pos_fc_1", dtype=self.dtype)(
             nn.relu(nn.Dense(self.dim // 8, name="pos_fc_0", dtype=self.dtype)(pos))
@@ -135,12 +143,14 @@ class ViewTransformerBlock(nn.Module):
 
     dim: int
     dtype: str = "float32"
+    ret_view_std: bool = True
 
     @nn.compact
     def __call__(self, q, k, pos, mask):
         x = nn.LayerNorm(epsilon=1e-6, name="attn_norm", dtype=self.dtype)(q)
         x, attn, k_std, k_norm_std = ViewAttention(
-            self.dim, dtype=self.dtype, name="attn"
+            self.dim, dtype=self.dtype, ret_view_std=self.ret_view_std,
+            name="attn",
         )(x, k, pos, mask)
         x = x + q
         y = nn.LayerNorm(epsilon=1e-6, name="ff_norm", dtype=self.dtype)(x)
@@ -208,12 +218,14 @@ class GNTBlockPair(nn.Module):
 
     dim: int
     dtype: str = "float32"
+    ret_view_std: bool = True
 
     @nn.compact
     def __call__(self, q, h, ray_diff, mask, pts_code, view_code):
         stds, nstds = [], []
         q, _a, k_std, k_nstd = ViewTransformerBlock(
-            self.dim, dtype=self.dtype, name="view_trans_a"
+            self.dim, dtype=self.dtype, ret_view_std=self.ret_view_std,
+            name="view_trans_a",
         )(q, h, ray_diff, mask)
         stds.append(jnp.mean(k_std, axis=-1))
         nstds.append(jnp.mean(k_nstd, axis=-1))
@@ -223,7 +235,8 @@ class GNTBlockPair(nn.Module):
         q, _w = RayTransformerBlock(self.dim, dtype=self.dtype, name="ray_trans_a")(q)
 
         q, _a, k_std, k_nstd = ViewTransformerBlock(
-            self.dim, dtype=self.dtype, name="view_trans_b"
+            self.dim, dtype=self.dtype, ret_view_std=self.ret_view_std,
+            name="view_trans_b",
         )(q, h, ray_diff, mask)
         stds.append(jnp.mean(k_std, axis=-1))
         nstds.append(jnp.mean(k_nstd, axis=-1))
@@ -249,6 +262,7 @@ class GNT(nn.Module):
     dtype: str = "float32"  # activation dtype; bfloat16 on TPU halves HBM
     #                         traffic and rides the MXU natively; params and
     #                         the final rgb/weights stay float32
+    ret_view_std: bool = True  # per-block view-consistency diagnostics
 
     @nn.compact
     def __call__(self, rgb_feat, ray_diff, mask, pts, ray_d):
@@ -276,11 +290,16 @@ class GNT(nn.Module):
         h = nn.Dense(self.netwidth, name="rgbfeat_fc_1", dtype=self.dtype)(nn.relu(h))
         q = jnp.max(h, axis=-2)  # maxpool over views: [..., S, C]
 
-        std0, nstd0 = masked_view_std(h, jnp.ones_like(mask))
-        # reference's pre-block diagnostics use raw (unmasked) view std of the
-        # projected features (transformer_network.py:464-473)
-        view_std_list = [jnp.mean(std0, axis=-1)]
-        view_nstd_list = [jnp.mean(nstd0, axis=-1)]
+        if self.ret_view_std:
+            std0, nstd0 = masked_view_std(h, jnp.ones_like(mask))
+            # reference's pre-block diagnostics use raw (unmasked) view std of
+            # the projected features (transformer_network.py:464-473)
+            view_std_list = [jnp.mean(std0, axis=-1)]
+            view_nstd_list = [jnp.mean(nstd0, axis=-1)]
+        else:
+            zero = jnp.zeros(q.shape[:-1], q.dtype)
+            view_std_list = [zero]
+            view_nstd_list = [zero]
 
         assert self.depth % 2 == 0, "GNT depth must be even (scanned in pairs)"
         n_pairs = self.depth // 2
@@ -294,7 +313,12 @@ class GNT(nn.Module):
             in_axes=nn.broadcast,
             out_axes=0,
             length=n_pairs,
-        )(self.netwidth, dtype=self.dtype, name="block_pairs")
+        )(
+            self.netwidth,
+            dtype=self.dtype,
+            ret_view_std=self.ret_view_std,
+            name="block_pairs",
+        )
 
         q, (weights_all, stds_all, nstds_all) = scanned(
             q, h, ray_diff, mask, pts_code, view_code

@@ -30,16 +30,26 @@ from pgdvs_tpu.renderers.config import RenderConfig
 
 
 def make_gnt_models(
-    netwidth: int = 64, depth: int = 8, feat_ch: int = 32, dtype: str = "bfloat16"
+    netwidth: int = 64,
+    depth: int = 8,
+    feat_ch: int = 32,
+    dtype: str = "bfloat16",
+    ret_view_std: bool = False,
 ):
     """Build the (feature_net, gnt) pair.
 
     dtype is the transformer activation dtype: bfloat16 is the TPU-native
     choice (half the HBM traffic, MXU-native); pass float32 for bit-accurate
-    parity runs against ported torch weights.
+    parity runs against ported torch weights. ret_view_std enables the
+    per-block view-consistency diagnostic maps (saved-only outputs; off by
+    default since they cost several HBM passes per block).
     """
     return ResUNet(out_channels=feat_ch), GNT(
-        netwidth=netwidth, depth=depth, in_feat_ch=feat_ch, dtype=dtype
+        netwidth=netwidth,
+        depth=depth,
+        in_feat_ch=feat_ch,
+        dtype=dtype,
+        ret_view_std=ret_view_std,
     )
 
 
