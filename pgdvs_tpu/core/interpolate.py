@@ -64,6 +64,11 @@ def bilinear_sample(img, x, y, zero_pad: bool = True):
     align_corners=True)`` once the caller's coordinates are in pixel units:
     out-of-range taps contribute zeros (not clamped edge values).
 
+    TPU note: two code paths. Wide-channel images use ONE lax.gather of the
+    2x2xC footprint per point (fewer gather rows). Narrow images (C < 8)
+    would blow up HBM through tile padding of the tiny trailing dims
+    ([N, 2, 2, 3] pads 42x), so they take four fused row-taps instead.
+
     Args:
       img: [H, W, C].
       x, y: [...] float pixel coordinates.
@@ -71,6 +76,8 @@ def bilinear_sample(img, x, y, zero_pad: bool = True):
 
     Returns: [..., C].
     """
+    if img.shape[-1] < 8:
+        return _bilinear_sample_taps(img, x, y, zero_pad)
     h, w = img.shape[0], img.shape[1]
     if h < 2 or w < 2:
         # degenerate dims: edge-pad so the 2x2 patch gather is well-formed
@@ -105,8 +112,29 @@ def bilinear_sample(img, x, y, zero_pad: bool = True):
     wgt = jnp.stack(
         [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
     ).astype(img.dtype)  # [N, 4]
-    out = jnp.einsum("npc,np->nc", patch.reshape(len(xf), 4, -1), wgt)
+    out = jnp.einsum("npc,np->nc", patch.reshape(xf.shape[0], 4, -1), wgt)
     return out.reshape(shape + (img.shape[-1],))
+
+
+def _bilinear_sample_taps(img, x, y, zero_pad: bool):
+    """4 independent row-tap bilinear path (narrow-channel images)."""
+    h, w = img.shape[0], img.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    out = 0.0
+    for xi, wxi in ((x0, 1.0 - wx1), (x0 + 1.0, wx1)):
+        for yi, wyi in ((y0, 1.0 - wy1), (y0 + 1.0, wy1)):
+            ix = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            iy = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            tap = _gather_pixels(img, ix, iy)
+            wgt = wxi * wyi
+            if zero_pad:
+                valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                wgt = jnp.where(valid, wgt, 0.0)
+            out = out + tap * wgt[..., None].astype(img.dtype)
+    return out
 
 
 def nearest_sample(img, x, y):

@@ -31,6 +31,7 @@ def epipolar_sample(
     src_rgbs,
     src_feats,
     src_invalid_masks=None,
+    sample_dtype=None,
 ):
     """Sample source views along epipolar projections of world points.
 
@@ -50,6 +51,11 @@ def epipolar_sample(
     h, w = src_rgbs.shape[1], src_rgbs.shape[2]
     hf, wf = src_feats.shape[1], src_feats.shape[2]
     tgt_c2w = cameras.flat_cam_c2w(tgt_cam)
+    if sample_dtype is not None:
+        # sample in the network's activation dtype (bf16 halves the gather
+        # traffic of the hot op; pass None for f32 parity runs)
+        src_rgbs = src_rgbs.astype(sample_dtype)
+        src_feats = src_feats.astype(sample_dtype)
 
     def per_view(cam, rgb, feat, inv_mask):
         uv, _z, in_front = cameras.project_points(pts, cam)  # [R, S, 2]

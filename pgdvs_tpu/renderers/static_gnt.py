@@ -107,6 +107,7 @@ def render_rays_gnt(
         src_rgbs,
         src_feats,
         src_invalid_masks if cfg.gnt_use_dyn_mask else None,
+        sample_dtype=gnt.dtype if gnt.dtype != "float32" else None,
     )
     out = gnt.apply(
         gnt_params,
