@@ -84,6 +84,7 @@ class Evaluator:
         out_dir: Optional[str] = None,
         lpips_params=None,
         save_vis: bool = False,
+        tracker=None,
     ):
         self.models = models
         self.params = params
@@ -94,7 +95,13 @@ class Evaluator:
 
         self._render = jax.jit(
             lambda params, data, key: render_novel_view(
-                self.models, params, data, cfg, key, static_mode=static_mode
+                self.models,
+                params,
+                data,
+                cfg,
+                key,
+                static_mode=static_mode,
+                tracker=tracker,
             )
         )
         if lpips_params is not None:

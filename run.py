@@ -30,6 +30,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pgdvs_tpu_jax_cache")
 LOGGER = logging.getLogger("pgdvs_tpu")
 
 
+def _configure_jax():
+    """Apply platform/cache config. NOTE: this environment force-registers
+    its TPU plugin regardless of JAX_PLATFORMS, so explicit selection goes
+    through jax.config (PGDVS_PLATFORM=cpu|tpu|axon)."""
+    import jax
+
+    plat = os.environ.get("PGDVS_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pgdvs_tpu_jax_cache")
+
+
 def build_render_config(args):
     from pgdvs_tpu.renderers.config import RenderConfig
 
@@ -51,6 +63,17 @@ def build_render_config(args):
     return RenderConfig(**overrides)
 
 
+def _coerce(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
 def build_dataset(args):
     from pgdvs_tpu.data.combined import CombinedDataset
 
@@ -59,7 +82,7 @@ def build_dataset(args):
         kwargs["scene_ids"] = args.scene_ids
     for kv in args.dataset_arg or []:
         k, _, v = kv.partition("=")
-        kwargs[k] = v
+        kwargs[k] = _coerce(v)
     return CombinedDataset([(args.dataset, kwargs)])
 
 
@@ -130,6 +153,70 @@ def cmd_bench(args):
     runpy.run_path(str(pathlib.Path(__file__).parent / "bench.py"), run_name="__main__")
 
 
+def cmd_benchmark(args):
+    """Run a named benchmark_type bundle (the reference's ablation matrix)."""
+    from pgdvs_tpu.configs.benchmarks import make_tracker, resolve_benchmark
+
+    cfg, spec = resolve_benchmark(args.benchmark_type)
+    # fold in explicit --render-cfg overrides
+    if args.render_cfg:
+        fields = {}
+        for kv in args.render_cfg:
+            k, _, v = kv.partition("=")
+            cur = getattr(cfg, k)
+            if isinstance(cur, bool):
+                fields[k] = v.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                fields[k] = int(v)
+            elif isinstance(cur, float):
+                fields[k] = float(v)
+            else:
+                fields[k] = v
+        cfg = cfg.replace(**fields)
+
+    dataset_name = spec.get("dataset", "nvidia_eval")
+    if args.dataset_family == "dycheck_iphone":
+        dataset_name = "dycheck_iphone_eval"
+    dataset_kwargs = {"data_root": args.data_root, **spec.get("dataset_args", {})}
+    if args.scene_ids:
+        dataset_kwargs["scene_ids"] = args.scene_ids
+    from pgdvs_tpu.data.combined import CombinedDataset
+
+    dataset = CombinedDataset([(dataset_name, dataset_kwargs)])
+    models, params = build_models_and_params(args, cfg)
+    tracker = make_tracker(spec.get("tracker"))
+
+    if spec.get("engine") == "vis":
+        from pgdvs_tpu.engines.visualizer import Visualizer
+
+        out = Visualizer(
+            models, params, cfg, args.out_dir, static_mode=spec["static_mode"]
+        ).run(dataset)
+        print(f"wrote {out}")
+        return
+
+    from pgdvs_tpu.engines.evaluator import Evaluator
+    from pgdvs_tpu.metrics.lpips_jax import load_torch_weights
+
+    ev = Evaluator(
+        models,
+        params,
+        cfg,
+        static_mode=spec["static_mode"],
+        out_dir=args.out_dir,
+        lpips_params=load_torch_weights(),
+        save_vis=True,
+        tracker=tracker,
+    )
+    result = ev.run(
+        dataset,
+        process_index=args.process_index,
+        process_count=args.process_count,
+        max_items=args.max_items,
+    )
+    print(json.dumps(result, indent=2))
+
+
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
@@ -163,7 +250,17 @@ def main(argv=None):
     pb = sub.add_parser("bench", help="run the throughput benchmark")
     pb.set_defaults(fn=cmd_bench)
 
+    pbm = sub.add_parser(
+        "benchmark", help="run a named benchmark_type ablation bundle"
+    )
+    common(pbm)
+    pbm.add_argument("--benchmark-type", default="default")
+    pbm.add_argument("--dataset-family", default="nvidia")
+    pbm.add_argument("--max-items", type=int, default=-1)
+    pbm.set_defaults(fn=cmd_benchmark)
+
     args = ap.parse_args(argv)
+    _configure_jax()
     return args.fn(args)
 
 

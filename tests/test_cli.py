@@ -1,0 +1,98 @@
+"""CLI integration test: run.py eval end-to-end on a fake on-disk scene."""
+
+import json
+import subprocess
+import sys
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+
+
+def test_run_eval_cli(tmp_path):
+    # build the fake scene via the dataset-test fixture machinery
+    from tests.test_datasets import fake_scene  # noqa: F401
+
+    import numpy as np
+    import PIL.Image
+    from pgdvs_tpu.data import synthetic
+    from pgdvs_tpu.data.nvidia_eval import N_CAMS
+
+    # minimal inline scene (2 frames suffices for one eval item)
+    h, w, n = 32, 40, 4
+    scene = "Balloon1"
+    dense = tmp_path / "raw" / scene / "dense"
+    (dense / "mv_images").mkdir(parents=True)
+    depth_dir = tmp_path / "depths" / scene / "disp"
+    depth_dir.mkdir(parents=True)
+    mask_dir = tmp_path / "fm" / scene / "dense/masks/final"
+    mask_dir.mkdir(parents=True)
+    for interval in (1, 2):
+        (tmp_path / "fm" / scene / f"dense/flows/interval_{interval}").mkdir(
+            parents=True
+        )
+
+    k = synthetic.intrinsics(h, w)
+    times = np.linspace(0, 1, n)
+    poses = [synthetic.camera_pose(i, n) for i in range(n)]
+    frames = [synthetic.render_frame(h, w, poses[i], times[i]) for i in range(n)]
+    rows = []
+    for i in range(n):
+        c2w = poses[i].copy()
+        c2w[..., 1:3] *= -1
+        m = c2w[:3, :4]
+        llff = np.concatenate([-m[:, 1:2], m[:, 0:1], m[:, 2:4]], axis=1)
+        hwf = np.array([[h], [w], [k[0, 0]]])
+        rows.append(np.concatenate([llff, hwf], 1).ravel().tolist() + [0.1, 10.0])
+    np.save(dense / "poses_bounds_cvd.npy", np.asarray(rows))
+    for i in range(n):
+        fd = dense / "mv_images" / f"{i:05d}"
+        fd.mkdir()
+        PIL.Image.fromarray((frames[i]["rgb"] * 255).astype(np.uint8)).save(
+            fd / f"cam{(i % N_CAMS) + 1:02d}.png"
+        )
+        np.save(depth_dir / f"{i:05d}.npy", 1.0 / frames[i]["depth"][..., 0])
+        PIL.Image.fromarray(frames[i]["dyn_mask"][..., 0] > 0).save(
+            mask_dir / f"{i:05d}_final.png"
+        )
+    for interval in (1, 2):
+        for i in range(n - interval):
+            for a, b in ((i, i + interval), (i + interval, i)):
+                flow = synthetic.flow_between(
+                    h, w, frames[a], poses[a], times[a], poses[b], times[b]
+                )
+                np.savez(
+                    tmp_path / "fm" / scene / f"dense/flows/interval_{interval}"
+                    / f"{a:05d}_{b:05d}.npz",
+                    flow=flow,
+                    coord_diff=np.zeros((h, w, 2), np.float32),
+                )
+
+    out_dir = tmp_path / "out"
+    cmd = [
+        sys.executable,
+        str(REPO / "run.py"),
+        "eval",
+        "--dataset", "nvidia_eval",
+        "--data-root", str(tmp_path),
+        "--dataset-arg",
+        "raw_data_dir=raw", "depth_data_dir=depths",
+        "mask_data_dir=fm", "flow_data_dir=fm",
+        "n_src_views_spatial=2", "tgt_height=32",
+        "--scene-ids", scene,
+        "--out-dir", str(out_dir),
+        "--max-items", "1",
+        "--render-cfg", "n_coarse_samples_per_ray=8", "ray_tile=320",
+        "knn_tile=256",
+        "--save-vis",
+    ]
+    import os
+
+    env = dict(os.environ)
+    env["PGDVS_PLATFORM"] = "cpu"  # env JAX_PLATFORMS is ignored here
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=500)
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert summary["count"] == 1
+    assert "psnr_full" in summary["mean"]
