@@ -102,6 +102,31 @@ def sharded_render_rays(
     return {k: unpad(v) for k, v in out.items()}
 
 
+def make_sharded_eval_fn(mesh: Mesh, models, cfg: RenderConfig, static_mode="gnt"):
+    """Data-parallel batched render: batch axis sharded over ``dp`` x ``rp``.
+
+    Each device renders whole novel views — exactly the reference's
+    multi-GPU evaluation (run.py:167-176 + DistributedSampler), minus
+    processes and NCCL. Returns fn(params, batch_data, keys) -> batched
+    output dict; batch leaves are [B, ...] with B divisible by the device
+    count.
+    """
+    from pgdvs_tpu.renderers.compose import render_novel_view
+
+    def render_one(params, data, key):
+        return render_novel_view(
+            models, params, data, cfg, key, static_mode=static_mode
+        )
+
+    batched = jax.vmap(render_one, in_axes=(None, 0, 0))
+    data_sharding = NamedSharding(mesh, P(("dp", "rp")))
+    return jax.jit(
+        batched,
+        in_shardings=(None, data_sharding, data_sharding),
+        out_shardings=data_sharding,
+    )
+
+
 def make_train_step(
     mesh: Mesh,
     models,

@@ -136,3 +136,29 @@ def test_sharded_render_matches_single_device(setup):
     np.testing.assert_allclose(
         np.asarray(plain["depth"]), np.asarray(sharded["depth"]), atol=2e-2
     )
+
+
+def test_sharded_eval_batch(setup):
+    """DP-batched render over the mesh matches per-item rendering."""
+    from pgdvs_tpu.parallel.mesh import make_mesh
+    from pgdvs_tpu.parallel.sharded import make_sharded_eval_fn
+    from pgdvs_tpu.renderers.compose import render_novel_view
+
+    models, params, data, cfg = setup
+    mesh = make_mesh(n_devices=4, dp=4, rp=1)
+    fn = make_sharded_eval_fn(mesh, models, cfg)
+
+    dev = {k: jnp.asarray(v) for k, v in data.items() if not isinstance(v, (dict, str))}
+    batch = jax.tree_util.tree_map(lambda x: jnp.stack([x] * 4), dev)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    with mesh:
+        out = fn(params, batch, keys)
+    assert out["combined_rgb"].shape[0] == 4
+    single = jax.jit(
+        lambda p, d, k: render_novel_view(models, p, d, cfg, k)
+    )(params, dev, keys[0])
+    np.testing.assert_allclose(
+        np.asarray(out["combined_rgb"][0]),
+        np.asarray(single["combined_rgb"]),
+        atol=2e-3,
+    )
