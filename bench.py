@@ -57,18 +57,24 @@ def main():
         lambda p, d, k: render_novel_view(models, p, d, cfg, k, static_mode="gnt")
     )
 
+    # NOTE: this environment's tunneled TPU backend does NOT synchronize on
+    # block_until_ready — force execution by fetching a scalar reduction.
+    def run(i):
+        out = render(params, dev_data, jax.random.PRNGKey(i))
+        return float(jnp.sum(out["combined_rgb"]))
+
     # compile (not timed: the per-view cost is what the 87 GPU-s baseline
     # measures; compile amortizes over 15,840 benchmark views)
     t0 = time.time()
-    out = jax.block_until_ready(render(params, dev_data, jax.random.PRNGKey(0)))
+    _ = run(0)
     compile_s = time.time() - t0
 
     n_iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.time()
     for i in range(n_iters):
-        out = render(params, dev_data, jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
+        _ = run(i)
     per_view = (time.time() - t0) / n_iters
+    out = render(params, dev_data, jax.random.PRNGKey(0))
 
     baseline_gpu_s = 87.0
     print(

@@ -13,6 +13,16 @@ Conventions locked to the reference:
     normalized* coordinates, i.e. featmap pixels = uv * (wf-1)/(w-1);
   * a sampled dynamic-mask value > 1e-3 marks the tap invalid
     (``projector.py:265-271``).
+
+TPU performance: the hot op is the random gather (~3.2G taps per 288x550
+view at the benchmark config); gathers cost per row, so
+  * all V views share ONE flat gather index space (view offset folded into
+    the index) instead of a batched/vmapped gather;
+  * in the default *fused* mode the quarter-res feature map is pre-upsampled
+    once per image and packed with rgb (+ the dynamic mask) into a single
+    [V, H, W, 36] map, halving taps per sample at the price of a
+    double-interpolation on features (exact reference semantics available
+    via ``fused=False``).
 """
 
 from __future__ import annotations
@@ -21,7 +31,115 @@ import jax
 import jax.numpy as jnp
 
 from pgdvs_tpu.core import cameras
-from pgdvs_tpu.core.interpolate import bilinear_sample
+
+
+def multiview_bilinear(imgs, x, y, zero_pad: bool = True):
+    """Bilinear sampling of V same-size maps with one flat gather space.
+
+    Args:
+      imgs: [V, H, W, C]; x, y: [V, ...] pixel coordinates per view.
+
+    Returns: [V, ..., C].
+    """
+    v, h, w, c = imgs.shape
+    flat = imgs.reshape(v * h * w, c)
+    shape = x.shape
+    xf = x.reshape(v, -1)
+    yf = y.reshape(v, -1)
+
+    sx = jnp.clip(jnp.floor(xf), 0, max(w - 2, 0))
+    sy = jnp.clip(jnp.floor(yf), 0, max(h - 2, 0))
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1)
+    base = (sy.astype(jnp.int32) * w + sx.astype(jnp.int32) + offs).reshape(-1)
+
+    if zero_pad:
+        wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - sx))
+        wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - (sx + 1.0)))
+        wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - sy))
+        wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - (sy + 1.0)))
+    else:
+        fx = jnp.clip(xf, 0, w - 1.0) - sx
+        fy = jnp.clip(yf, 0, h - 1.0) - sy
+        wx0, wx1 = 1.0 - fx, fx
+        wy0, wy1 = 1.0 - fy, fy
+
+    out = 0.0
+    for dd, wgt in (
+        (0, wy0 * wx0),
+        (1, wy0 * wx1),
+        (w, wy1 * wx0),
+        (w + 1, wy1 * wx1),
+    ):
+        out = out + jnp.take(flat, base + dd, axis=0) * wgt.reshape(-1, 1).astype(
+            imgs.dtype
+        )
+    return out.reshape(shape + (c,))
+
+
+def project_all_views(pts, src_cams):
+    """Project [R, S, 3] points into V cameras: uv [V, R, S, 2], in_front."""
+    return jax.vmap(lambda cam: cameras.project_points(pts, cam))(src_cams)
+
+
+def build_fused_maps(src_rgbs, src_feats, src_invalid_masks=None, dtype=None):
+    """Pack rgb + (pre-upsampled) features + optional dynamic mask into one
+    full-resolution per-view map: [V, H, W, 3 + F (+1)].
+
+    The upsample uses align_corners bilinear so the subsequent full-res
+    bilinear lookup approximates the reference's direct quarter-res lookup
+    (exact on the feature-grid lattice; double-interpolated between).
+    """
+    v, h, w, _ = src_rgbs.shape
+    if dtype is not None:
+        src_rgbs = src_rgbs.astype(dtype)
+        src_feats = src_feats.astype(dtype)
+    from pgdvs_tpu.core.interpolate import resize_bilinear
+
+    feats_up = jax.vmap(lambda f: resize_bilinear(f, h, w))(src_feats)
+    parts = [src_rgbs, feats_up.astype(src_rgbs.dtype)]
+    if src_invalid_masks is not None:
+        parts.append(src_invalid_masks.astype(src_rgbs.dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def epipolar_sample_fused(pts, tgt_cam, src_cams, src_maps, with_mask: bool):
+    """Fused-map epipolar sampling: ONE bilinear tap set per (sample, view).
+
+    Args:
+      pts: [R, S, 3]; src_maps: [V, H, W, 3+F(+1)] from build_fused_maps.
+
+    Returns the same dict contract as `epipolar_sample`.
+    """
+    v, h, w, _ = src_maps.shape
+    uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
+    inbound = cameras.pixel_inbound(uv, float(h), float(w))
+
+    sampled = multiview_bilinear(src_maps, uv[..., 0], uv[..., 1])  # [V,R,S,C]
+    if with_mask:
+        rgb_feat = sampled[..., :-1]
+        inv_s = (sampled[..., -1:] > 1e-3).astype(jnp.float32)
+    else:
+        rgb_feat = sampled
+        inv_s = jnp.zeros(sampled.shape[:-1] + (1,), jnp.float32)
+
+    tgt_c2w = cameras.flat_cam_c2w(tgt_cam)
+    diff = jax.vmap(
+        lambda cam: cameras.ray_diff_features(pts, tgt_c2w, cameras.flat_cam_c2w(cam))
+    )(src_cams)
+
+    mask_inb = (inbound & in_front).astype(jnp.float32)[..., None]
+    mask = mask_inb * (1.0 - inv_s)
+
+    def to_rsv(x):
+        return jnp.moveaxis(x, 0, 2)
+
+    return {
+        "rgb_feat": to_rsv(rgb_feat),
+        "ray_diff": to_rsv(diff),
+        "mask": to_rsv(mask),
+        "mask_inbound": to_rsv(mask_inb),
+        "mask_invalid": to_rsv(inv_s),
+    }
 
 
 def epipolar_sample(
@@ -33,7 +151,7 @@ def epipolar_sample(
     src_invalid_masks=None,
     sample_dtype=None,
 ):
-    """Sample source views along epipolar projections of world points.
+    """Reference-exact epipolar sampling (separate rgb / feature lookups).
 
     Args:
       pts: [R, S, 3] world sample points.
@@ -42,8 +160,9 @@ def epipolar_sample(
       src_rgbs: [V, H, W, 3].
       src_feats: [V, Hf, Wf, F] deep features (any resolution).
       src_invalid_masks: optional [V, H, W, 1], 1 = invalid (dynamic).
+      sample_dtype: cast maps before sampling (bf16 halves gather bytes).
 
-    Returns dict (all view-major -> transposed to [R, S, V, *]):
+    Returns dict (all [R, S, V, *]):
       rgb_feat [R, S, V, 3+F], ray_diff [R, S, V, 4],
       mask [R, S, V, 1] (validity incl. dynamic),
       mask_inbound [R, S, V, 1], mask_invalid [R, S, V, 1].
@@ -52,41 +171,40 @@ def epipolar_sample(
     hf, wf = src_feats.shape[1], src_feats.shape[2]
     tgt_c2w = cameras.flat_cam_c2w(tgt_cam)
     if sample_dtype is not None:
-        # sample in the network's activation dtype (bf16 halves the gather
-        # traffic of the hot op; pass None for f32 parity runs)
         src_rgbs = src_rgbs.astype(sample_dtype)
         src_feats = src_feats.astype(sample_dtype)
 
-    def per_view(cam, rgb, feat, inv_mask):
-        uv, _z, in_front = cameras.project_points(pts, cam)  # [R, S, 2]
-        inbound = cameras.pixel_inbound(uv, float(h), float(w))
-        x, y = uv[..., 0], uv[..., 1]
-        rgb_s = bilinear_sample(rgb, x, y)  # [R, S, 3]
-        scale_x = (wf - 1.0) / (w - 1.0)
-        scale_y = (hf - 1.0) / (h - 1.0)
-        feat_s = bilinear_sample(feat, x * scale_x, y * scale_y)  # [R, S, F]
-        diff = cameras.ray_diff_features(pts, tgt_c2w, cameras.flat_cam_c2w(cam))
-        mask_inb = (inbound & in_front).astype(rgb_s.dtype)[..., None]
-        if inv_mask is not None:
-            inv_s = (bilinear_sample(inv_mask, x, y) > 1e-3).astype(rgb_s.dtype)
-            mask = mask_inb * (1.0 - inv_s)
-        else:
-            inv_s = jnp.zeros_like(mask_inb)
-            mask = mask_inb
-        return jnp.concatenate([rgb_s, feat_s], axis=-1), diff, mask, mask_inb, inv_s
+    uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
+    inbound = cameras.pixel_inbound(uv, float(h), float(w))
 
-    in_axes = (0, 0, 0, 0 if src_invalid_masks is not None else None)
-    rgb_feat, ray_diff, mask, mask_inb, mask_inv = jax.vmap(per_view, in_axes=in_axes)(
-        src_cams, src_rgbs, src_feats, src_invalid_masks
-    )
+    x, y = uv[..., 0], uv[..., 1]
+    rgb_s = multiview_bilinear(src_rgbs, x, y)
+    scale_x = (wf - 1.0) / (w - 1.0)
+    scale_y = (hf - 1.0) / (h - 1.0)
+    feat_s = multiview_bilinear(src_feats, x * scale_x, y * scale_y)
+    rgb_feat = jnp.concatenate([rgb_s, feat_s.astype(rgb_s.dtype)], axis=-1)
 
-    def to_rsv(x):  # [V, R, S, C] -> [R, S, V, C]
-        return jnp.moveaxis(x, 0, 2)
+    diff = jax.vmap(
+        lambda cam: cameras.ray_diff_features(pts, tgt_c2w, cameras.flat_cam_c2w(cam))
+    )(src_cams)
+
+    mask_inb = (inbound & in_front).astype(jnp.float32)[..., None]
+    if src_invalid_masks is not None:
+        inv_s = (
+            multiview_bilinear(src_invalid_masks.astype(jnp.float32), x, y) > 1e-3
+        ).astype(jnp.float32)
+        mask = mask_inb * (1.0 - inv_s)
+    else:
+        inv_s = jnp.zeros_like(mask_inb)
+        mask = mask_inb
+
+    def to_rsv(arr):
+        return jnp.moveaxis(arr, 0, 2)
 
     return {
         "rgb_feat": to_rsv(rgb_feat),
-        "ray_diff": to_rsv(ray_diff),
+        "ray_diff": to_rsv(diff),
         "mask": to_rsv(mask),
         "mask_inbound": to_rsv(mask_inb),
-        "mask_invalid": to_rsv(mask_inv),
+        "mask_invalid": to_rsv(inv_s),
     }

@@ -52,6 +52,10 @@ class RenderConfig:
 
     # --- TPU capacity knobs (static shapes) ------------------------------
     ray_tile: int = 2048           # rays per scan tile in the GNT render
+    fused_epipolar: bool = True    # pack rgb+feat(+mask) into one per-view
+    #                                map (halves gather taps; features are
+    #                                pre-upsampled -> double interpolation).
+    #                                False = reference-exact sampling.
     dyn_point_capacity: int = 0    # 0 = H*W (every pixel may be dynamic)
     knn_tile: int = 2048
 

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from pgdvs_tpu.core import cameras, sampling
 from pgdvs_tpu.models.gnt.network import GNT
 from pgdvs_tpu.models.gnt.feature_net import ResUNet
-from pgdvs_tpu.models.gnt.projector import epipolar_sample
+from pgdvs_tpu.models.gnt.projector import (
+    build_fused_maps,
+    epipolar_sample,
+    epipolar_sample_fused,
+)
 from pgdvs_tpu.renderers.config import RenderConfig
 
 
@@ -81,17 +85,21 @@ def render_rays_gnt(
     src_feats,
     cfg: RenderConfig,
     src_invalid_masks=None,
+    src_fused_maps=None,
 ):
     """Render a fixed-size batch of rays. All inputs are device arrays.
 
     Args:
       rays_o/rays_d: [R, 3]; depth_range: [R, 2].
       src_*: stacked source views / features.
+      src_fused_maps: optional [V, H, W, 3+F(+1)] prebuilt fused maps
+        (build_fused_maps); takes precedence over src_rgbs/src_feats for
+        sampling.
 
     Returns dict of per-ray outputs (rgb, depth, weights, inbound_cnt,
     dyn_cnt, view_std, view_std_normalized).
     """
-    n_src = src_rgbs.shape[0]
+    n_src = src_cams.shape[0]
     pts, z_vals = sampling.sample_along_rays(
         rays_o,
         rays_d,
@@ -100,15 +108,21 @@ def render_rays_gnt(
         inv_uniform=cfg.sample_inv_uniform,
         deterministic=True,
     )
-    proj = epipolar_sample(
-        pts,
-        tgt_cam,
-        src_cams,
-        src_rgbs,
-        src_feats,
-        src_invalid_masks if cfg.gnt_use_dyn_mask else None,
-        sample_dtype=gnt.dtype if gnt.dtype != "float32" else None,
-    )
+    if src_fused_maps is not None:
+        proj = epipolar_sample_fused(
+            pts, tgt_cam, src_cams, src_fused_maps,
+            with_mask=cfg.gnt_use_dyn_mask,
+        )
+    else:
+        proj = epipolar_sample(
+            pts,
+            tgt_cam,
+            src_cams,
+            src_rgbs,
+            src_feats,
+            src_invalid_masks if cfg.gnt_use_dyn_mask else None,
+            sample_dtype=gnt.dtype if gnt.dtype != "float32" else None,
+        )
     out = gnt.apply(
         gnt_params,
         proj["rgb_feat"],
@@ -168,6 +182,15 @@ def render_image_gnt(
     h, w = image_hw
     feats = feature_net.apply(params["feature_net"], src_rgbs)
 
+    fused_maps = None
+    if cfg.fused_epipolar:
+        fused_maps = build_fused_maps(
+            src_rgbs,
+            feats,
+            src_invalid_masks if cfg.gnt_use_dyn_mask else None,
+            dtype=gnt.dtype if gnt.dtype != "float32" else None,
+        )
+
     rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
         h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),
         stride=cfg.render_stride,
@@ -203,6 +226,7 @@ def render_image_gnt(
             feats,
             cfg,
             src_invalid_masks=src_invalid_masks,
+            src_fused_maps=fused_maps,
         )
 
     tiled = jax.lax.map(tile_fn, (rays_o_t, rays_d_t, dr_t))

@@ -180,3 +180,57 @@ def test_resunet_output_resolution():
     x2 = jnp.asarray(rng.normal(size=(1, 37, 51, 3)), jnp.float32)
     out2 = jax.jit(net.apply)(params, x2)
     assert out2.shape[0] == 1 and out2.shape[-1] == 8
+
+
+def test_fused_epipolar_close_to_exact():
+    """Fused-map sampling must closely match reference-exact sampling
+    (features double-interpolate; rgb and masks are exact)."""
+    import jax
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.models.gnt.projector import (
+        build_fused_maps,
+        epipolar_sample,
+        epipolar_sample_fused,
+    )
+
+    rng = np.random.default_rng(7)
+    v, h, w, f = 3, 32, 40, 8
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 40.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.1 * i, -0.05 * i, 0.0]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    tgt = cams[0]
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(v, h // 4, w // 4, f)).astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(v, h, w, 1)) > 0.8).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(16, 8, 3)).astype(np.float32) * 0.5)
+    pts = pts.at[..., 2].set(jnp.abs(pts[..., 2]) + 2.0)
+
+    exact = epipolar_sample(pts, tgt, cams, rgbs, feats, masks)
+    fused_maps = build_fused_maps(rgbs, feats, masks)
+    fused = epipolar_sample_fused(pts, tgt, cams, fused_maps, with_mask=True)
+
+    # rgb channels are exact; ray_diff identical; masks near-identical
+    np.testing.assert_allclose(
+        np.asarray(fused["rgb_feat"][..., :3]),
+        np.asarray(exact["rgb_feat"][..., :3]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["ray_diff"]), np.asarray(exact["ray_diff"]), atol=1e-6
+    )
+    # features: double interpolation stays close to direct quarter-res lookup
+    err = np.abs(
+        np.asarray(fused["rgb_feat"][..., 3:]) - np.asarray(exact["rgb_feat"][..., 3:])
+    )
+    scale = np.abs(np.asarray(exact["rgb_feat"][..., 3:])).mean()
+    assert err.mean() < 0.2 * scale, (err.mean(), scale)
+    agree = (
+        np.asarray(fused["mask"]) == np.asarray(exact["mask"])
+    ).mean()
+    assert agree > 0.97
