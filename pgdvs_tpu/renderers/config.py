@@ -52,10 +52,15 @@ class RenderConfig:
 
     # --- TPU capacity knobs (static shapes) ------------------------------
     ray_tile: int = 2048           # rays per scan tile in the GNT render
-    fused_epipolar: bool = True    # pack rgb+feat(+mask) into one per-view
+    fused_epipolar: bool = False   # pack rgb+feat(+mask) into one per-view
     #                                map (halves gather taps; features are
     #                                pre-upsampled -> double interpolation).
     #                                False = reference-exact sampling.
+    #                                NOTE: currently triggers a TPU-worker
+    #                                kernel fault inside the full render on
+    #                                this environment's backend (components
+    #                                pass standalone) — default off until the
+    #                                backend issue is isolated.
     dyn_point_capacity: int = 0    # 0 = H*W (every pixel may be dynamic)
     knn_tile: int = 2048
 

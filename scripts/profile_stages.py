@@ -34,12 +34,18 @@ H, W, V, S = 288, 550, 10, 256
 TILE = int(os.environ.get("PROF_TILE", "2048"))
 
 
+def _force(out):
+    """This environment's tunneled TPU does not sync on block_until_ready;
+    force execution by fetching a scalar."""
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.sum(leaves[0].astype(jnp.float32).reshape(-1)[:16]))
+
+
 def timeit(name, fn, *args, iters=2):
-    out = jax.block_until_ready(fn(*args))
+    _force(fn(*args))
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _force(fn(*args))
     dt = (time.time() - t0) / iters
     print(json.dumps({"stage": name, "seconds": round(dt, 4)}), flush=True)
     return dt
