@@ -104,12 +104,18 @@ def main():
     pts1 = jnp.asarray(rng.normal(size=(TILE, S, 3)).astype(np.float32))
     rdir = jnp.asarray(rng.normal(size=(TILE, 3)).astype(np.float32))
 
-    def gnt_tile(_):
-        out = gnt.apply(params["gnt"], rf, rd, mk, pts1, rdir)
-        return jnp.sum(out["rgb"]) + jnp.sum(out["weights"])
+    def gnt_fn(rf, rd, mk, pts1, rdir):
+        def gnt_tile(_):
+            out = gnt.apply(params["gnt"], rf, rd, mk, pts1, rdir)
+            return jnp.sum(out["rgb"]) + jnp.sum(out["weights"])
 
-    gnt_fn = jax.jit(lambda: jax.lax.map(gnt_tile, jnp.arange(n_tiles)))
-    timeit("gnt_transformer_full_image", gnt_fn)
+        return jax.lax.map(gnt_tile, jnp.arange(n_tiles))
+
+    timeit(
+        "gnt_transformer_full_image",
+        jax.jit(gnt_fn),
+        rf, rd, mk, pts1, rdir,
+    )
 
     # 4. dynamic branch
     dyn_fn = jax.jit(
