@@ -52,6 +52,11 @@ class RenderConfig:
 
     # --- TPU capacity knobs (static shapes) ------------------------------
     ray_tile: int = 2048           # rays per scan tile in the GNT render
+    use_pallas_gnt: bool = True    # fused single-VMEM-pass GNT transformer
+    #                                kernel (kernels/gnt_fused.py); False =
+    #                                plain XLA flax apply (also used whenever
+    #                                view-std diagnostics are requested)
+    pallas_ray_block: int = 8      # rays per fused-kernel grid step
     fused_epipolar: bool = False   # pack rgb+feat(+mask) into one per-view
     #                                map (halves gather taps; features are
     #                                pre-upsampled -> double interpolation).

@@ -123,14 +123,41 @@ def render_rays_gnt(
             src_invalid_masks if cfg.gnt_use_dyn_mask else None,
             sample_dtype=gnt.dtype if gnt.dtype != "float32" else None,
         )
-    out = gnt.apply(
-        gnt_params,
-        proj["rgb_feat"],
-        proj["ray_diff"],
-        proj["mask"],
-        pts,
-        rays_d,
+    use_pallas = (
+        cfg.use_pallas_gnt
+        and not gnt.ret_view_std
+        and gnt.netwidth == 64
+        and gnt.depth == 8
+        and rays_o.shape[0] % cfg.pallas_ray_block == 0
     )
+    if use_pallas:
+        from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
+        from pgdvs_tpu.models.gnt.network import sinusoidal_embed
+
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        out = gnt_fused_apply(
+            gnt_params,
+            proj["rgb_feat"],
+            proj["ray_diff"],
+            proj["mask"],
+            sinusoidal_embed(pts),
+            sinusoidal_embed(viewdirs),
+            ray_block=cfg.pallas_ray_block,
+        )
+        zeros_std = jnp.zeros(
+            rays_o.shape[:1] + (cfg.n_coarse_samples_per_ray, gnt.depth + 1),
+            jnp.float32,
+        )
+        out = dict(out, view_std=zeros_std, view_std_normalized=zeros_std)
+    else:
+        out = gnt.apply(
+            gnt_params,
+            proj["rgb_feat"],
+            proj["ray_diff"],
+            proj["mask"],
+            pts,
+            rays_d,
+        )
     weights = out["weights"]  # [R, S]
     depth = jnp.sum(weights * z_vals, axis=-1)
     inbound_cnt = jnp.sum(

@@ -1,0 +1,65 @@
+"""Fused Pallas GNT kernel vs the flax reference implementation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pgdvs_tpu.kernels.gnt_fused import flatten_gnt_params, gnt_fused_apply
+from pgdvs_tpu.models.gnt.network import GNT, sinusoidal_embed
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    r, s, v, f = 16, 32, 5, 32
+    gnt = GNT(netwidth=64, depth=8, in_feat_ch=f, dtype="bfloat16", ret_view_std=False)
+    rgb_feat = jnp.asarray(rng.normal(size=(r, s, v, 3 + f)).astype(np.float32))
+    ray_diff = jnp.asarray(rng.normal(size=(r, s, v, 4)).astype(np.float32))
+    mask = jnp.asarray((rng.uniform(size=(r, s, v, 1)) > 0.2).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(r, s, 3)).astype(np.float32))
+    ray_d = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+    params = gnt.init(jax.random.PRNGKey(0), rgb_feat, ray_diff, mask, pts, ray_d)
+    return gnt, params, rgb_feat, ray_diff, mask, pts, ray_d
+
+
+def test_flatten_params_count(setup):
+    gnt, params, *_ = setup
+    flat = flatten_gnt_params(params)
+    # 4 stem + 8 blocks x 34 + 4 q_fc x 4 + 4 head
+    assert len(flat) == 4 + 8 * 34 + 4 * 4 + 4
+
+
+def test_fused_matches_flax(setup):
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+
+    ref = gnt.apply(params, rgb_feat, ray_diff, mask, pts, ray_d)
+
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    view_code = sinusoidal_embed(viewdirs)
+    pts_code = sinusoidal_embed(pts)
+
+    out = gnt_fused_apply(
+        params, rgb_feat, ray_diff, mask, pts_code, view_code,
+        ray_block=8, interpret=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=0.05, rtol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["weights"]), np.asarray(ref["weights"]), atol=0.02
+    )
+
+
+def test_fused_all_invalid_rows_finite(setup):
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    mask = mask.at[0].set(0.0)  # whole ray invalid in every view
+    view_code = sinusoidal_embed(ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True))
+    pts_code = sinusoidal_embed(pts)
+    out = gnt_fused_apply(
+        params, rgb_feat, ray_diff, mask, pts_code, view_code,
+        ray_block=8, interpret=True,
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(np.asarray(out["weights"])).all()
