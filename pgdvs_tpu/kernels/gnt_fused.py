@@ -183,30 +183,37 @@ def _gnt_kernel(
 
     weights_out = None
     for blk in range(DEPTH):
-        # ---- view transformer (slice-unrolled over views) ---------------
+        # ---- view transformer: per-view online softmax -------------------
+        # (flash-attention style single pass, so besides `h` no [nv, NW]
+        #  tensor is ever live — the VMEM budget is what bounds ray_block)
         an_s, an_b = next_w(), next_w()
         x = _layernorm(q, an_s, an_b, 1e-6)  # [ns, NW]
         qp = _dense(x, next_w())
-        qp_rep = jnp.concatenate([qp] * v, axis=0)  # [nv, NW]
-        kp = _dense(h, next_w())
-        vp = _dense(kp, next_w())
-        pos = _dense(ray_diff, next_w(), next_w())
-        pos = _dense(jax.nn.relu(pos), next_w(), next_w())  # [nv, NW]
-        logits = kp - qp_rep + pos
-        logits = _dense(logits, next_w(), next_w())
-        logits = _dense(jax.nn.relu(logits), next_w(), next_w())
-        lg = logits.astype(jnp.float32)  # [nv, NW]
+        w_k = next_w()
+        w_v = next_w()
+        w_p0, b_p0 = next_w(), next_w()
+        w_p1, b_p1 = next_w(), next_w()
+        w_a0, b_a0 = next_w(), next_w()
+        w_a1, b_a1 = next_w(), next_w()
 
-        mx = vslice(lg, 0) + view_bias(0)
-        for i in range(1, v):
-            mx = jnp.maximum(mx, vslice(lg, i) + view_bias(i))
-        den = jnp.zeros_like(mx)
-        agg = jnp.zeros_like(mx)
-        vp_pos = (vp + pos).astype(jnp.float32)
+        mx = jnp.full((ns, NW), NEG, jnp.float32)
+        den = jnp.zeros((ns, NW), jnp.float32)
+        agg = jnp.zeros((ns, NW), jnp.float32)
         for i in range(v):
-            ex = jnp.exp(vslice(lg, i) + view_bias(i) - mx)
-            den = den + ex
-            agg = agg + ex * vslice(vp_pos, i)
+            kp_i = _dense(vslice(h, i), w_k)
+            vp_i = _dense(kp_i, w_v)
+            pos_i = _dense(vslice(ray_diff, i), w_p0, b_p0)
+            pos_i = _dense(jax.nn.relu(pos_i), w_p1, b_p1)
+            lg_i = kp_i - qp + pos_i
+            lg_i = _dense(lg_i, w_a0, b_a0)
+            lg_i = _dense(jax.nn.relu(lg_i), w_a1, b_a1)
+            lg_i = lg_i.astype(jnp.float32) + view_bias(i)
+            m_new = jnp.maximum(mx, lg_i)
+            scale = jnp.exp(mx - m_new)
+            ex = jnp.exp(lg_i - m_new)
+            den = den * scale + ex
+            agg = agg * scale + ex * (vp_i + pos_i).astype(jnp.float32)
+            mx = m_new
         agg = (agg / den).astype(dtype)  # [ns, NW]
 
         agg = _dense(agg, next_w(), next_w())
