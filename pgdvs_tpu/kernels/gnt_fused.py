@@ -344,6 +344,9 @@ def gnt_fused_apply(
             jax.ShapeDtypeStruct((r, 3), jnp.float32),
             jax.ShapeDtypeStruct((r, 1, s), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(packed, rd_t, pos_code, *weights)
     return {"rgb": rgb, "weights": w[:, 0, :]}
