@@ -42,6 +42,28 @@ def _to_numpy_img(x):
     return np.clip(np.asarray(x, np.float64), 0.0, 1.0)
 
 
+def compute_dycheck_metrics(pred, gt, covisible, lpips_params=None):
+    """DyCheck iPhone protocol: mPSNR/mSSIM(/mLPIPS) over covisible masks
+    (evaluator_pgdvs.py:282-415; metrics in pgdvs_tpu.metrics.dycheck)."""
+    import jax.numpy as jnp
+
+    from pgdvs_tpu.metrics import dycheck as dm
+    from pgdvs_tpu.metrics.psnr_ssim import quantize_uint8
+
+    pred_q = jnp.asarray(quantize_uint8(_to_numpy_img(pred)), jnp.float32)
+    gt_q = jnp.asarray(quantize_uint8(_to_numpy_img(gt)), jnp.float32)
+    m = jnp.asarray(covisible, jnp.float32)
+    if m.ndim == 2:
+        m = m[..., None]
+    out = {
+        "mpsnr": float(dm.compute_psnr(pred_q, gt_q, m)),
+        "mssim": float(dm.compute_ssim(pred_q, gt_q, m)),
+    }
+    if lpips_params is not None:
+        out["mlpips"] = float(dm.compute_lpips(lpips_params, pred_q, gt_q, m))
+    return out
+
+
 def compute_nvidia_metrics(pred, gt, dyn_mask, lpips_fn=None):
     """Full / dynamic / static metric triplets, uint8-quantized inputs
     (evaluator_pgdvs.py:73-77,190-280)."""
@@ -112,6 +134,7 @@ class Evaluator:
             )
         else:
             self._lpips = None
+        self._lpips_params = lpips_params
 
     def eval_item(self, data, item_id: str = "item", seed: int = 0) -> EvalRecord:
         t0 = time.time()
@@ -130,16 +153,24 @@ class Evaluator:
         wall = time.time() - t0
 
         metrics = {}
+        misc = data.get("misc") if isinstance(data.get("misc"), dict) else {}
         if "rgb_tgt" in data:
-            dyn_mask = (
-                data["misc"]["tgt_dyn_mask"]
-                if isinstance(data.get("misc"), dict)
-                and "tgt_dyn_mask" in data["misc"]
-                else np.asarray(data["eval_mask"])[..., :1]
-            )
-            metrics = compute_nvidia_metrics(
-                pred, np.asarray(data["rgb_tgt"]), dyn_mask, lpips_fn=self._lpips
-            )
+            if misc.get("quant_type") == "dycheck":
+                metrics = compute_dycheck_metrics(
+                    pred,
+                    np.asarray(data["rgb_tgt"]),
+                    misc.get("covisible_mask", np.asarray(data["eval_mask"])[..., :1]),
+                    lpips_params=self._lpips_params,
+                )
+            else:
+                dyn_mask = (
+                    misc["tgt_dyn_mask"]
+                    if "tgt_dyn_mask" in misc
+                    else np.asarray(data["eval_mask"])[..., :1]
+                )
+                metrics = compute_nvidia_metrics(
+                    pred, np.asarray(data["rgb_tgt"]), dyn_mask, lpips_fn=self._lpips
+                )
         metrics["render_wall_s"] = wall
 
         if self.out_dir is not None:

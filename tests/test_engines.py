@@ -162,3 +162,20 @@ def test_sharded_eval_batch(setup):
         np.asarray(single["combined_rgb"]),
         atol=2e-3,
     )
+
+
+def test_dycheck_metrics_protocol():
+    from pgdvs_tpu.engines.evaluator import compute_dycheck_metrics
+
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 0.03, gt.shape), 0, 1).astype(np.float32)
+    covis = np.zeros((24, 24, 1), np.float32)
+    covis[4:20, 4:20] = 1.0
+    m = compute_dycheck_metrics(pred, gt, covis)
+    assert 20 < m["mpsnr"] < 60
+    assert 0 < m["mssim"] <= 1.0
+    # identical images: psnr -> inf-ish, ssim -> 1
+    m2 = compute_dycheck_metrics(gt, gt, covis)
+    assert m2["mssim"] == pytest.approx(1.0, abs=1e-5)
+    assert m2["mpsnr"] > 60
