@@ -53,6 +53,9 @@ def sharded_render_rays(
     feature_net, gnt = models
     h, w = image_hw
     n_dev = mesh.devices.size
+    # the fused Pallas kernel needs per-call sharding metadata under
+    # shard_map; use the plain XLA path inside mesh-sharded renders
+    cfg = cfg.replace(use_pallas_gnt=False)
 
     feats = feature_net.apply(params["feature_net"], src_rgbs)
     rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
@@ -146,6 +149,9 @@ def make_train_step(
     step_fn(params, opt_state, batch) -> (params, opt_state, loss).
     """
     feature_net, gnt = models
+    # training differentiates through the renderer: the fused Pallas kernel
+    # defines no VJP, so the flax path is used
+    cfg = cfg.replace(use_pallas_gnt=False)
 
     def loss_fn(params, batch):
         def per_view(tgt_cam, src_cams, src_rgbs, rays_o, rays_d, dr, rgb_gt):

@@ -143,6 +143,8 @@ def render_rays_gnt(
             sinusoidal_embed(pts),
             sinusoidal_embed(viewdirs),
             ray_block=cfg.pallas_ray_block,
+            # Pallas TPU kernels only interpret on CPU (tests / virtual mesh)
+            interpret=jax.default_backend() == "cpu",
         )
         zeros_std = jnp.zeros(
             rays_o.shape[:1] + (cfg.n_coarse_samples_per_ray, gnt.depth + 1),

@@ -130,11 +130,13 @@ def test_sharded_render_matches_single_device(setup):
             dev["depth_range"],
             cfg,
         )
+    # plain path runs the fused Pallas kernel, sharded path the flax one:
+    # agreement is bounded by bf16 accumulation differences
     np.testing.assert_allclose(
-        np.asarray(plain["rgb"]), np.asarray(sharded["rgb"]), atol=2e-3
+        np.asarray(plain["rgb"]), np.asarray(sharded["rgb"]), atol=5e-2
     )
     np.testing.assert_allclose(
-        np.asarray(plain["depth"]), np.asarray(sharded["depth"]), atol=2e-2
+        np.asarray(plain["depth"]), np.asarray(sharded["depth"]), atol=1e-1
     )
 
 
@@ -179,3 +181,28 @@ def test_dycheck_metrics_protocol():
     m2 = compute_dycheck_metrics(gt, gt, covis)
     assert m2["mssim"] == pytest.approx(1.0, abs=1e-5)
     assert m2["mpsnr"] > 60
+
+
+def test_debug_dumps(setup, tmp_path):
+    from pgdvs_tpu.engines.debug import (
+        dump_dynamic_pointclouds,
+        dump_epipolar_overlay,
+        dump_render_intermediates,
+    )
+    from pgdvs_tpu.renderers.compose import render_novel_view
+
+    models, params, data, cfg = setup
+    dev = {k: jnp.asarray(v) for k, v in data.items() if not isinstance(v, (dict, str))}
+    out = jax.jit(
+        lambda p, d, k: render_novel_view(models, p, d, cfg, k)
+    )(params, dev, jax.random.PRNGKey(0))
+
+    dump_render_intermediates(out, data, tmp_path / "imgs")
+    assert (tmp_path / "imgs" / "debug_combined_rgb.png").exists()
+    assert (tmp_path / "imgs" / "debug_flow_fwd.png").exists()
+
+    pcl = dump_dynamic_pointclouds(data, cfg, tmp_path / "pcl")
+    assert (tmp_path / "pcl" / "dyn_pcl_all.ply").exists()
+
+    dump_epipolar_overlay(data, tmp_path / "epi")
+    assert (tmp_path / "epi" / "epi_src_00.png").exists()
