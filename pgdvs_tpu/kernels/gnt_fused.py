@@ -113,7 +113,9 @@ def flatten_gnt_params(gnt_params) -> List[jnp.ndarray]:
     out.append(p["norm"]["bias"])
     out.append(p["rgb_fc"]["kernel"])
     out.append(p["rgb_fc"]["bias"])
-    return [jnp.asarray(w) for w in out]
+    # bf16 weights: halves the (double-buffered) VMEM weight footprint; the
+    # kernel computes in bf16 anyway and layernorm stats stay f32
+    return [jnp.asarray(w).astype(jnp.bfloat16) for w in out]
 
 
 def _layernorm(x, scale, bias, eps):
@@ -274,8 +276,8 @@ def _gnt_kernel(
     pooled = jnp.mean(hq.reshape(rb, s, NW).astype(jnp.float32), axis=1)
     rgb = _dense(pooled.astype(dtype), next_w(), next_w())  # [rb, 3]
 
-    rgb_out_ref[:] = rgb.astype(jnp.float32)
-    w_out_ref[:] = weights_out.astype(jnp.float32)
+    rgb_out_ref[0] = rgb.astype(jnp.float32)
+    w_out_ref[0] = weights_out.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("ray_block", "interpret"))
@@ -335,18 +337,27 @@ def gnt_fused_apply(
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((ray_block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # 3D blocks whose last two dims equal the array dims (the Pallas
+            # divisibility rule) — the kernel writes slot [0]
             pl.BlockSpec(
-                (ray_block, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, ray_block, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ray_block, 1, s),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, 3), jnp.float32),
-            jax.ShapeDtypeStruct((r, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], ray_block, 3), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], ray_block, 1, s), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(packed, rd_t, pos_code, *weights)
-    return {"rgb": rgb, "weights": w[:, 0, :]}
+    return {
+        "rgb": rgb.reshape(r, 3),
+        "weights": w.reshape(r, s),
+    }

@@ -56,7 +56,7 @@ class RenderConfig:
     #                                kernel (kernels/gnt_fused.py); False =
     #                                plain XLA flax apply (also used whenever
     #                                view-std diagnostics are requested)
-    pallas_ray_block: int = 8      # rays per fused-kernel grid step
+    pallas_ray_block: int = 4      # rays per fused-kernel grid step
     fused_epipolar: bool = False   # pack rgb+feat(+mask) into one per-view
     #                                map (halves gather taps; features are
     #                                pre-upsampled -> double interpolation).
