@@ -40,9 +40,9 @@ def main():
         sample_inv_uniform=True,
         gnt_use_masked_spatial_src=True,
         ray_tile=int(os.environ.get("BENCH_RAY_TILE", "4096")),
-        fused_epipolar=os.environ.get("BENCH_FUSED_EPI", "0") == "1",
+        epipolar_mode=os.environ.get("BENCH_EPI_MODE", "quad"),
         use_pallas_gnt=os.environ.get("BENCH_PALLAS_GNT", "1") == "1",
-        pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
+        pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "8")),
     )
 
     data = make_contract_data(h=h, w=w, n_spatial=n_src, n_frames=12, tgt_time=0.5)

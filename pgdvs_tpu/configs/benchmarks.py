@@ -171,7 +171,8 @@ BENCHMARK_TYPES: Dict[str, Dict[str, Any]] = {
     },
     "st_gnt_masked_attn_dy_cvd_pcl_clean_track_cotracker": {
         "static_mode": "gnt",
-        "tracker": "lk",  # classical chained tracker (CoTracker port: see models/tracking)
+        "tracker": "cotracker",  # flax CoTracker port (needs the released
+        #                          checkpoint; tracker='lk' is weight-free)
         "render_cfg": dict(
             gnt_use_dyn_mask=True,
             gnt_use_masked_spatial_src=False,
@@ -232,4 +233,18 @@ def make_tracker(name: str):
         from pgdvs_tpu.models.tracking.tapir import make_tapir_tracker
 
         return make_tapir_tracker(keep_raw_res=name.endswith("raw_res"))
+    if name == "cotracker":
+        from pgdvs_tpu.models.tracking.cotracker import CoTrackerTracker
+        from pgdvs_tpu.models.tracking.cotracker_port import (
+            load_cotracker_checkpoint,
+        )
+
+        params = load_cotracker_checkpoint()
+        if params is None:
+            raise FileNotFoundError(
+                "CoTracker checkpoint not found (set PGDVS_CKPT_DIR with "
+                "cotracker/cotracker_stride_4_wind_8.pth); the weight-free "
+                "fallback is tracker='lk'"
+            )
+        return CoTrackerTracker(params=params)
     raise KeyError(f"unknown tracker {name!r}")

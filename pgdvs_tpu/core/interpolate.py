@@ -169,11 +169,21 @@ def backwarp(img, flow):
     return bilinear_sample(img, gx + flow[..., 0], gy + flow[..., 1])
 
 
-def resize_bilinear(img, out_h: int, out_w: int):
-    """Bilinear resize with align_corners=True corner mapping (matches the
-    reference's upconv interpolate — ``feature_network.py:176-179``)."""
+def resize_bilinear(img, out_h: int, out_w: int, align_corners: bool = True):
+    """Bilinear resize matching torch F.interpolate corner mapping.
+
+    align_corners=True: matches the reference's upconv interpolate
+    (``feature_network.py:176-179``). align_corners=False: torch default
+    half-pixel mapping src = (dst + 0.5) * in/out - 0.5 with edge clamping
+    (used by e.g. the CoTracker predictor's video resize,
+    ``cotracker/predictor.py:108-110``).
+    """
     h, w = img.shape[0], img.shape[1]
-    ys = jnp.linspace(0.0, h - 1.0, out_h)
-    xs = jnp.linspace(0.0, w - 1.0, out_w)
+    if align_corners:
+        ys = jnp.linspace(0.0, h - 1.0, out_h)
+        xs = jnp.linspace(0.0, w - 1.0, out_w)
+    else:
+        ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (h / out_h) - 0.5
+        xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (w / out_w) - 0.5
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     return bilinear_sample(img, gx, gy, zero_pad=False)

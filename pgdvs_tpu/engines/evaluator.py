@@ -42,6 +42,48 @@ def _to_numpy_img(x):
     return np.clip(np.asarray(x, np.float64), 0.0, 1.0)
 
 
+def resize_gt_to_render(rgb_gt, eval_mask, render_hw):
+    """Resize GT + eval mask to the render resolution (render_stride > 1).
+
+    Protocol (evaluator_pgdvs.py:81-92): AFTER uint8 quantization, GT is
+    bicubic-antialias align_corners resized; the eval mask is nearest-resized
+    and re-binarized. Uses torch's interpolate on host when available (the
+    reference's exact kernel); falls back to jax.image.resize (cubic, no
+    antialias — documented approximation).
+    """
+    rh, rw = render_hw
+    if rgb_gt.shape[0] == rh and rgb_gt.shape[1] == rw:
+        return rgb_gt, eval_mask
+    try:
+        import torch
+
+        t = torch.tensor(rgb_gt, dtype=torch.float32).permute(2, 0, 1)[None]
+        rgb_out = (
+            torch.nn.functional.interpolate(
+                t, size=(rh, rw), mode="bicubic", antialias=True,
+                align_corners=True,
+            )[0]
+            .permute(1, 2, 0)
+            .numpy()
+            .astype(np.float64)
+        )
+    except ImportError:
+        rgb_out = np.asarray(
+            jax.image.resize(jnp.asarray(rgb_gt), (rh, rw, rgb_gt.shape[-1]),
+                             "cubic"),
+            np.float64,
+        )
+    if eval_mask is not None:
+        m = jnp.asarray(eval_mask, jnp.float32)
+        if m.ndim == 2:
+            m = m[..., None]
+        m_out = np.asarray(
+            jax.image.resize(m, (rh, rw, m.shape[-1]), "nearest")
+        )
+        eval_mask = (m_out > 0).astype(np.float64)
+    return rgb_out, eval_mask
+
+
 def compute_dycheck_metrics(pred, gt, covisible, lpips_params=None):
     """DyCheck iPhone protocol: mPSNR/mSSIM(/mLPIPS) over covisible masks
     (evaluator_pgdvs.py:282-415; metrics in pgdvs_tpu.metrics.dycheck)."""
@@ -64,11 +106,16 @@ def compute_dycheck_metrics(pred, gt, covisible, lpips_params=None):
     return out
 
 
-def compute_nvidia_metrics(pred, gt, dyn_mask, lpips_fn=None):
+def compute_nvidia_metrics(pred, gt, dyn_mask, lpips_fn=None,
+                           quantize_gt: bool = True):
     """Full / dynamic / static metric triplets, uint8-quantized inputs
-    (evaluator_pgdvs.py:73-77,190-280)."""
+    (evaluator_pgdvs.py:73-77,190-280). quantize_gt=False when the caller
+    already quantized-then-resized GT (the reference does NOT re-quantize
+    after the render_stride resize)."""
     pred_q = quantize_uint8(_to_numpy_img(pred))
-    gt_q = quantize_uint8(_to_numpy_img(gt))
+    gt_q = quantize_uint8(_to_numpy_img(gt)) if quantize_gt else np.asarray(
+        gt, np.float64
+    )
     dyn = np.asarray(dyn_mask, np.float64)
     if dyn.ndim == 2:
         dyn = dyn[..., None]
@@ -168,8 +215,20 @@ class Evaluator:
                     if "tgt_dyn_mask" in misc
                     else np.asarray(data["eval_mask"])[..., :1]
                 )
+                gt = np.asarray(data["rgb_tgt"])
+                quantize_gt = True
+                if gt.shape[:2] != pred.shape[:2]:
+                    # render_stride > 1: quantize FIRST, then bicubic-
+                    # antialias resize GT + nearest-resize the mask
+                    # (evaluator_pgdvs.py:73-92), no re-quantization
+                    gt = quantize_uint8(_to_numpy_img(gt))
+                    gt, dyn_mask = resize_gt_to_render(
+                        gt, dyn_mask, pred.shape[:2]
+                    )
+                    quantize_gt = False
                 metrics = compute_nvidia_metrics(
-                    pred, np.asarray(data["rgb_tgt"]), dyn_mask, lpips_fn=self._lpips
+                    pred, gt, dyn_mask, lpips_fn=self._lpips,
+                    quantize_gt=quantize_gt,
                 )
         metrics["render_wall_s"] = wall
 
@@ -207,9 +266,25 @@ class Evaluator:
             rec = self.eval_item(data, item_id=f"{i:06d}", seed=i)
             records.append(rec)
             LOGGER.info("eval %s: %s", rec.item_id, json.dumps(rec.metrics))
-        if not records:
+        if not records and jax.process_count() == 1:
             return {"count": 0}
-        keys = records[0].metrics.keys()
+        keys = sorted(records[0].metrics.keys()) if records else []
         sums = {k: float(sum(r.metrics[k] for r in records)) for k in keys}
-        means = {k: v / len(records) for k, v in sums.items()}
-        return {"count": len(records), "sum": sums, "mean": means}
+        count = len(records)
+
+        if jax.process_count() > 1:
+            # cross-process SUM reduction — the reference's
+            # torch.distributed.reduce(dst=0, SUM) (evaluator_pgdvs.py:183-186)
+            from jax.experimental import multihost_utils
+
+            vec = np.asarray([float(count)] + [sums[k] for k in keys],
+                             np.float64)
+            gathered = np.asarray(multihost_utils.process_allgather(vec))
+            total = gathered.sum(axis=0)
+            count = int(total[0])
+            sums = {k: float(total[1 + i]) for i, k in enumerate(keys)}
+
+        if count == 0:
+            return {"count": 0}
+        means = {k: v / count for k, v in sums.items()}
+        return {"count": count, "sum": sums, "mean": means}

@@ -18,6 +18,8 @@ rejects most mixed reshapes):
     per-view slices are STATIC sublane slices, so all cross-view reductions
     (masked softmax, maxpool) are unrolled slice arithmetic — no
     [ns, V, C] 3D tensors, no repeats (query broadcast = sublane concat);
+    every dense layer runs on ALL views' tokens in ONE [n_view_tokens, C]
+    matmul (a per-view matmul loop leaves the MXU ~10x underfed);
   * the validity mask rides as an extra input channel of rgb_feat, so the
     per-token -inf bias is a lane slice, never a lanes->sublanes relayout;
   * ray attention runs per head with lane slices + single-batch-dim
@@ -165,58 +167,55 @@ def _gnt_kernel(
     def vslice(x, i):
         return x[i * ns : (i + 1) * ns]
 
-    # all-invalid fallback: rows with zero valid views attend un-masked
-    cnt = vslice(mask_col, 0)
-    for i in range(1, v):
-        cnt = cnt + vslice(mask_col, i)
-    all_invalid = cnt == 0.0  # [ns, 1]
+    def vtile(x):
+        # [ns, C] -> [nv, C]: per-view broadcast as a sublane concat
+        return jnp.concatenate([x] * v, axis=0)
 
-    def view_bias(i):
-        m = vslice(mask_col, i)
-        return jnp.where((m == 0.0) & (~all_invalid), NEG, 0.0)  # [ns, 1] f32
+    def vmax(x):
+        out = vslice(x, 0)
+        for i in range(1, v):
+            out = jnp.maximum(out, vslice(x, i))
+        return out
+
+    def vsum(x):
+        out = vslice(x, 0)
+        for i in range(1, v):
+            out = out + vslice(x, i)
+        return out
+
+    # all-invalid fallback: rows with zero valid views attend un-masked
+    all_invalid = vsum(mask_col) == 0.0  # [ns, 1]
+    view_bias = jnp.where(
+        (mask_col == 0.0) & (~vtile(all_invalid)), NEG, 0.0
+    )  # [nv, 1] f32
 
     # rgbfeat_fc
     h = _dense(rgb_feat, next_w(), next_w())
     h = _dense(jax.nn.relu(h), next_w(), next_w())  # [nv, NW]
-
-    q = vslice(h, 0)
-    for i in range(1, v):
-        q = jnp.maximum(q, vslice(h, i))  # maxpool over views: [ns, NW]
+    q = vmax(h)  # maxpool over views: [ns, NW]
 
     weights_out = None
     for blk in range(DEPTH):
-        # ---- view transformer: per-view online softmax -------------------
-        # (flash-attention style single pass, so besides `h` no [nv, NW]
-        #  tensor is ever live — the VMEM budget is what bounds ray_block)
+        # ---- view transformer -------------------------------------------
+        # All views processed in ONE set of [nv, NW] matmuls (10x larger
+        # MXU ops than a per-view loop); masked view softmax is unrolled
+        # static slice arithmetic over the views-outer sublane layout.
         an_s, an_b = next_w(), next_w()
         x = _layernorm(q, an_s, an_b, 1e-6)  # [ns, NW]
         qp = _dense(x, next_w())
-        w_k = next_w()
-        w_v = next_w()
+        kp = _dense(h, next_w())           # [nv, NW]
+        vp = _dense(kp, next_w())          # [nv, NW]
         w_p0, b_p0 = next_w(), next_w()
         w_p1, b_p1 = next_w(), next_w()
         w_a0, b_a0 = next_w(), next_w()
         w_a1, b_a1 = next_w(), next_w()
-
-        mx = jnp.full((ns, NW), NEG, jnp.float32)
-        den = jnp.zeros((ns, NW), jnp.float32)
-        agg = jnp.zeros((ns, NW), jnp.float32)
-        for i in range(v):
-            kp_i = _dense(vslice(h, i), w_k)
-            vp_i = _dense(kp_i, w_v)
-            pos_i = _dense(vslice(ray_diff, i), w_p0, b_p0)
-            pos_i = _dense(jax.nn.relu(pos_i), w_p1, b_p1)
-            lg_i = kp_i - qp + pos_i
-            lg_i = _dense(lg_i, w_a0, b_a0)
-            lg_i = _dense(jax.nn.relu(lg_i), w_a1, b_a1)
-            lg_i = lg_i.astype(jnp.float32) + view_bias(i)
-            m_new = jnp.maximum(mx, lg_i)
-            scale = jnp.exp(mx - m_new)
-            ex = jnp.exp(lg_i - m_new)
-            den = den * scale + ex
-            agg = agg * scale + ex * (vp_i + pos_i).astype(jnp.float32)
-            mx = m_new
-        agg = (agg / den).astype(dtype)  # [ns, NW]
+        pos = _dense(jax.nn.relu(_dense(ray_diff, w_p0, b_p0)), w_p1, b_p1)
+        lg = kp - vtile(qp) + pos
+        lg = _dense(jax.nn.relu(_dense(lg, w_a0, b_a0)), w_a1, b_a1)
+        lg = lg.astype(jnp.float32) + view_bias  # [nv, NW] f32
+        ex = jnp.exp(lg - vtile(vmax(lg)))
+        agg = ex * (vp + pos).astype(jnp.float32)
+        agg = (vsum(agg) / vsum(ex)).astype(dtype)  # [ns, NW]
 
         agg = _dense(agg, next_w(), next_w())
         x = agg + q
@@ -280,7 +279,9 @@ def _gnt_kernel(
     w_out_ref[0] = weights_out.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("ray_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ray_block", "interpret", "views_outer")
+)
 def gnt_fused_apply(
     gnt_params,
     rgb_feat,
@@ -290,17 +291,24 @@ def gnt_fused_apply(
     view_code,
     ray_block: int = 8,
     interpret: bool = False,
+    views_outer: bool = False,
 ):
     """Run the fused GNT transformer.
 
     Args:
       gnt_params: the flax GNT param tree ({'params': ...}).
-      rgb_feat: [R, S, V, 3+F]; ray_diff: [R, S, V, 4]; mask: [R, S, V, 1];
+      rgb_feat: [R, S, V, 3+F]; ray_diff: [R, S, V, 4]; mask: [R, S, V, 1] —
+        or, with views_outer=True, [V, R, S, *] (the kernel's native layout;
+        skips two full-tensor transposes when the sampler already produces
+        views-outer).
       pts_code: [R, S, 63]; view_code: [R, 63] (sinusoidal encodings).
 
     Returns dict {rgb [R, 3], weights [R, S]} (f32).
     """
-    r, s, v, feat_in = rgb_feat.shape
+    if views_outer:
+        v, r, s, feat_in = rgb_feat.shape
+    else:
+        r, s, v, feat_in = rgb_feat.shape
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
     weights = flatten_gnt_params(gnt_params)
@@ -310,8 +318,11 @@ def gnt_fused_apply(
     packed = jnp.concatenate(
         [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)], axis=-1
     )
-    packed = jnp.transpose(packed, (2, 0, 1, 3))  # [V, R, S, F+1]
-    rd_t = jnp.transpose(ray_diff.astype(jnp.bfloat16), (2, 0, 1, 3))
+    if not views_outer:
+        packed = jnp.transpose(packed, (2, 0, 1, 3))  # [V, R, S, F+1]
+        rd_t = jnp.transpose(ray_diff.astype(jnp.bfloat16), (2, 0, 1, 3))
+    else:
+        rd_t = ray_diff.astype(jnp.bfloat16)
     pos_code = jnp.concatenate(
         [pts_code, jnp.broadcast_to(view_code[:, None, :], pts_code.shape)],
         axis=-1,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -129,28 +130,47 @@ class ResUNet(nn.Module):
         x2 = stack(x1, 128, self.layers[1], "layer2")  # H/8
         x3 = stack(x2, 256, self.layers[2], "layer3")  # H/16
 
-        # decoder; skip concats are [upsampled, encoder] in channel order and
-        # zero-pad the encoder map when x2-upsampling overshoots by one pixel
-        # on odd extents (reference skipconnect, feature_network.py:296-307)
+        # decoder skip concat: reference skipconnect(x2=encoder, x=upsampled)
+        # binds x1:=encoder, x2:=upsampled, center-pads the ENCODER map to the
+        # upsampled extent (diff is always 0 or +1: up(d)=2*ceil(e/2) >= e)
+        # and concats [upsampled, encoder] (feature_network.py:296-307) —
+        # verified numerically vs the torch oracle in tests/test_torch_parity
         u3 = ConvINElu(128, name="upconv3")(_upsample2x(x3))  # H/8
         u3 = ConvINElu(128, name="iconv3")(
-            jnp.concatenate([u3, _pad_to(x2, u3)], axis=-1)
+            jnp.concatenate([u3, _match_to(x2, u3)], axis=-1)
         )
         u2 = ConvINElu(64, name="upconv2")(_upsample2x(u3))  # H/4
         u2 = ConvINElu(self.out_channels, name="iconv2")(
-            jnp.concatenate([u2, _pad_to(x1, u2)], axis=-1)
+            jnp.concatenate([u2, _match_to(x1, u2)], axis=-1)
         )
         out = nn.Conv(self.out_channels, (1, 1), name="out_conv")(u2)
         return out
 
 
-def _pad_to(x, ref):
-    """Zero center-pad x's spatial dims to match ref's (both NHWC)."""
-    dh = ref.shape[1] - x.shape[1]
-    dw = ref.shape[2] - x.shape[2]
-    if dh == 0 and dw == 0:
+def _match_to(x, ref):
+    """Pad/crop x's spatial dims to ref's with torch F.pad center semantics.
+
+    diff = ref - x; pad (diff//2) on the left/top and (diff - diff//2) on the
+    right/bottom; negative amounts crop (torch F.pad negative-pad behavior,
+    used by the reference skipconnect at odd extents).
+    """
+
+    def one(x, axis, target):
+        d = target - x.shape[axis]
+        if d == 0:
+            return x
+        lo, hi = d // 2, d - d // 2
+        if lo < 0:
+            x = jax.lax.slice_in_dim(x, -lo, x.shape[axis], axis=axis)
+            lo = 0
+        if hi < 0:
+            x = jax.lax.slice_in_dim(x, 0, x.shape[axis] + hi, axis=axis)
+            hi = 0
+        if lo or hi:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (lo, hi)
+            x = jnp.pad(x, pad)
         return x
-    return jnp.pad(
-        x,
-        ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
-    )
+
+    x = one(x, 1, ref.shape[1])
+    return one(x, 2, ref.shape[2])

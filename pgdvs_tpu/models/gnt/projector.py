@@ -102,11 +102,80 @@ def build_fused_maps(src_rgbs, src_feats, src_invalid_masks=None, dtype=None):
     return jnp.concatenate(parts, axis=-1)
 
 
-def epipolar_sample_fused(pts, tgt_cam, src_cams, src_maps, with_mask: bool):
+def build_quad_maps(src_rgbs, src_feats, src_invalid_masks=None, dtype=None):
+    """Fused maps with the full 2x2 bilinear stencil packed into channels.
+
+    Returns [V, H, W, 4*C] where entry (y, x) stores the fused-map rows
+    [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] back to back (edge-clamped).
+
+    Rationale: TPU gathers cost per *row*, so sampling from this map needs
+    ONE gather per (sample, view) instead of four — measured ~5x faster at
+    the benchmark shape (scripts/gather_exp3.py). 4x HBM for the maps
+    (~0.5 GB at eval scale) is a fine trade on a 16 GB chip.
+    """
+    fused = build_fused_maps(src_rgbs, src_feats, src_invalid_masks, dtype=dtype)
+    right = jnp.concatenate([fused[:, :, 1:], fused[:, :, -1:]], axis=2)
+    rowp = jnp.concatenate([fused, right], axis=-1)  # [V,H,W,2C]
+    down = jnp.concatenate([rowp[:, 1:], rowp[:, -1:]], axis=1)
+    return jnp.concatenate([rowp, down], axis=-1)  # [V,H,W,4C]
+
+
+def quad_bilinear(qmaps, x, y):
+    """Bilinear sampling from build_quad_maps output: one gather row/tap.
+
+    Args:
+      qmaps: [V, H, W, 4C]; x, y: [V, ...] pixel coordinates per view.
+
+    Returns [V, ..., C] with zero padding outside [0, W-1] x [0, H-1]
+    (grid_sample padding_mode='zeros' semantics, matching
+    `multiview_bilinear(zero_pad=True)`).
+    """
+    v, h, w, c4 = qmaps.shape
+    c = c4 // 4
+    flat = qmaps.reshape(v * h * w, c4)
+    shape = x.shape
+    xf = x.reshape(v, -1)
+    yf = y.reshape(v, -1)
+
+    sx = jnp.clip(jnp.floor(xf), 0, max(w - 2, 0))
+    sy = jnp.clip(jnp.floor(yf), 0, max(h - 2, 0))
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1)
+    base = (sy.astype(jnp.int32) * w + sx.astype(jnp.int32) + offs).reshape(-1)
+
+    # zero-pad weights: taps whose neighbor falls outside contribute 0
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - sx)).reshape(-1, 1)
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(xf - (sx + 1.0))).reshape(-1, 1)
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - sy)).reshape(-1, 1)
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - (sy + 1.0))).reshape(-1, 1)
+
+    row = jnp.take(flat, base, axis=0)  # [N, 4C]
+    dt = qmaps.dtype
+    top = row[:, :c] * (wx0 * wy0).astype(dt) + row[:, c : 2 * c] * (
+        wx1 * wy0
+    ).astype(dt)
+    bot = row[:, 2 * c : 3 * c] * (wx0 * wy1).astype(dt) + row[:, 3 * c :] * (
+        wx1 * wy1
+    ).astype(dt)
+    return (top + bot).reshape(shape + (c,))
+
+
+def epipolar_sample_fused(
+    pts,
+    tgt_cam,
+    src_cams,
+    src_maps,
+    with_mask: bool,
+    quad: bool = False,
+    views_outer: bool = False,
+):
     """Fused-map epipolar sampling: ONE bilinear tap set per (sample, view).
 
     Args:
-      pts: [R, S, 3]; src_maps: [V, H, W, 3+F(+1)] from build_fused_maps.
+      pts: [R, S, 3]; src_maps: [V, H, W, 3+F(+1)] from build_fused_maps, or
+        [V, H, W, 4C] from build_quad_maps with quad=True (single gather row
+        per tap — the fast path).
+      views_outer: return [V, R, S, *] (the fused kernel's native layout)
+        instead of [R, S, V, *].
 
     Returns the same dict contract as `epipolar_sample`.
     """
@@ -114,7 +183,10 @@ def epipolar_sample_fused(pts, tgt_cam, src_cams, src_maps, with_mask: bool):
     uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
     inbound = cameras.pixel_inbound(uv, float(h), float(w))
 
-    sampled = multiview_bilinear(src_maps, uv[..., 0], uv[..., 1])  # [V,R,S,C]
+    if quad:
+        sampled = quad_bilinear(src_maps, uv[..., 0], uv[..., 1])  # [V,R,S,C]
+    else:
+        sampled = multiview_bilinear(src_maps, uv[..., 0], uv[..., 1])
     if with_mask:
         rgb_feat = sampled[..., :-1]
         inv_s = (sampled[..., -1:] > 1e-3).astype(jnp.float32)
@@ -130,15 +202,17 @@ def epipolar_sample_fused(pts, tgt_cam, src_cams, src_maps, with_mask: bool):
     mask_inb = (inbound & in_front).astype(jnp.float32)[..., None]
     mask = mask_inb * (1.0 - inv_s)
 
-    def to_rsv(x):
-        return jnp.moveaxis(x, 0, 2)
+    if views_outer:
+        to_out = lambda x: x
+    else:
+        to_out = lambda x: jnp.moveaxis(x, 0, 2)
 
     return {
-        "rgb_feat": to_rsv(rgb_feat),
-        "ray_diff": to_rsv(diff),
-        "mask": to_rsv(mask),
-        "mask_inbound": to_rsv(mask_inb),
-        "mask_invalid": to_rsv(inv_s),
+        "rgb_feat": to_out(rgb_feat),
+        "ray_diff": to_out(diff),
+        "mask": to_out(mask),
+        "mask_inbound": to_out(mask_inb),
+        "mask_invalid": to_out(inv_s),
     }
 
 
@@ -150,6 +224,7 @@ def epipolar_sample(
     src_feats,
     src_invalid_masks=None,
     sample_dtype=None,
+    views_outer: bool = False,
 ):
     """Reference-exact epipolar sampling (separate rgb / feature lookups).
 
@@ -198,13 +273,15 @@ def epipolar_sample(
         inv_s = jnp.zeros_like(mask_inb)
         mask = mask_inb
 
-    def to_rsv(arr):
-        return jnp.moveaxis(arr, 0, 2)
+    if views_outer:
+        to_out = lambda arr: arr
+    else:
+        to_out = lambda arr: jnp.moveaxis(arr, 0, 2)
 
     return {
-        "rgb_feat": to_rsv(rgb_feat),
-        "ray_diff": to_rsv(diff),
-        "mask": to_rsv(mask),
-        "mask_inbound": to_rsv(mask_inb),
-        "mask_invalid": to_rsv(inv_s),
+        "rgb_feat": to_out(rgb_feat),
+        "ray_diff": to_out(diff),
+        "mask": to_out(mask),
+        "mask_inbound": to_out(mask_inb),
+        "mask_invalid": to_out(inv_s),
     }

@@ -15,3 +15,7 @@ Implementations:
 """
 
 from pgdvs_tpu.models.tracking.lk import LucasKanadeTracker  # noqa: F401
+from pgdvs_tpu.models.tracking.cotracker import (  # noqa: F401
+    CoTrackerModel,
+    CoTrackerTracker,
+)

@@ -56,16 +56,15 @@ class RenderConfig:
     #                                kernel (kernels/gnt_fused.py); False =
     #                                plain XLA flax apply (also used whenever
     #                                view-std diagnostics are requested)
-    pallas_ray_block: int = 4      # rays per fused-kernel grid step
-    fused_epipolar: bool = False   # pack rgb+feat(+mask) into one per-view
-    #                                map (halves gather taps; features are
-    #                                pre-upsampled -> double interpolation).
-    #                                False = reference-exact sampling.
-    #                                NOTE: currently triggers a TPU-worker
-    #                                kernel fault inside the full render on
-    #                                this environment's backend (components
-    #                                pass standalone) — default off until the
-    #                                backend issue is isolated.
+    pallas_ray_block: int = 8      # rays per fused-kernel grid step
+    epipolar_mode: str = "quad"    # 'exact' | 'fused' | 'quad'
+    #   exact: reference-exact sampling (separate full-res rgb + quarter-res
+    #          feature bilinear lookups; 8 gather rows per sample/view)
+    #   fused: rgb+feat(+mask) packed into one pre-upsampled per-view map
+    #          (4 gather rows; features double-interpolated)
+    #   quad:  fused map with the 2x2 bilinear stencil packed into channels
+    #          (ONE gather row per sample/view; ~5x faster sampling measured
+    #          at benchmark scale, scripts/gather_exp3.py; 4x map memory)
     dyn_point_capacity: int = 0    # 0 = H*W (every pixel may be dynamic)
     knn_tile: int = 2048
 

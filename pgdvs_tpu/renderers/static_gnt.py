@@ -27,6 +27,7 @@ from pgdvs_tpu.models.gnt.network import GNT
 from pgdvs_tpu.models.gnt.feature_net import ResUNet
 from pgdvs_tpu.models.gnt.projector import (
     build_fused_maps,
+    build_quad_maps,
     epipolar_sample,
     epipolar_sample_fused,
 )
@@ -108,10 +109,22 @@ def render_rays_gnt(
         inv_uniform=cfg.sample_inv_uniform,
         deterministic=True,
     )
+    use_pallas = (
+        cfg.use_pallas_gnt
+        and not gnt.ret_view_std
+        and gnt.netwidth == 64
+        and gnt.depth == 8
+        and rays_o.shape[0] % cfg.pallas_ray_block == 0
+    )
+    # the fused kernel consumes views-outer [V, R, S, *] natively; producing
+    # it at the sampler skips two full-tensor HBM transposes per tile
+    views_outer = use_pallas
     if src_fused_maps is not None:
         proj = epipolar_sample_fused(
             pts, tgt_cam, src_cams, src_fused_maps,
             with_mask=cfg.gnt_use_dyn_mask,
+            quad=cfg.epipolar_mode == "quad",
+            views_outer=views_outer,
         )
     else:
         proj = epipolar_sample(
@@ -122,14 +135,10 @@ def render_rays_gnt(
             src_feats,
             src_invalid_masks if cfg.gnt_use_dyn_mask else None,
             sample_dtype=gnt.dtype if gnt.dtype != "float32" else None,
+            views_outer=views_outer,
         )
-    use_pallas = (
-        cfg.use_pallas_gnt
-        and not gnt.ret_view_std
-        and gnt.netwidth == 64
-        and gnt.depth == 8
-        and rays_o.shape[0] % cfg.pallas_ray_block == 0
-    )
+    # axis of the view dim in proj["mask_*"][..., 0] ([V,R,S] vs [R,S,V])
+    view_axis = 0 if views_outer else -1
     if use_pallas:
         from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
         from pgdvs_tpu.models.gnt.network import sinusoidal_embed
@@ -145,6 +154,7 @@ def render_rays_gnt(
             ray_block=cfg.pallas_ray_block,
             # Pallas TPU kernels only interpret on CPU (tests / virtual mesh)
             interpret=jax.default_backend() == "cpu",
+            views_outer=views_outer,
         )
         zeros_std = jnp.zeros(
             rays_o.shape[:1] + (cfg.n_coarse_samples_per_ray, gnt.depth + 1),
@@ -163,10 +173,12 @@ def render_rays_gnt(
     weights = out["weights"]  # [R, S]
     depth = jnp.sum(weights * z_vals, axis=-1)
     inbound_cnt = jnp.sum(
-        weights * jnp.sum(proj["mask_inbound"][..., 0], axis=-1) / n_src, axis=-1
+        weights * jnp.sum(proj["mask_inbound"][..., 0], axis=view_axis) / n_src,
+        axis=-1,
     )
     dyn_cnt = jnp.sum(
-        weights * jnp.sum(proj["mask_invalid"][..., 0], axis=-1) / n_src, axis=-1
+        weights * jnp.sum(proj["mask_invalid"][..., 0], axis=view_axis) / n_src,
+        axis=-1,
     )
     return {
         "rgb": out["rgb"],
@@ -212,8 +224,9 @@ def render_image_gnt(
     feats = feature_net.apply(params["feature_net"], src_rgbs)
 
     fused_maps = None
-    if cfg.fused_epipolar:
-        fused_maps = build_fused_maps(
+    if cfg.epipolar_mode in ("fused", "quad"):
+        build = build_quad_maps if cfg.epipolar_mode == "quad" else build_fused_maps
+        fused_maps = build(
             src_rgbs,
             feats,
             src_invalid_masks if cfg.gnt_use_dyn_mask else None,

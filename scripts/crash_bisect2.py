@@ -18,7 +18,7 @@ if which == "dyn":
     cfg = RenderConfig()
     out = jax.jit(lambda d, k: render_dynamic(d, cfg, k)["rgb"])(dev, jax.random.PRNGKey(0))
 else:
-    cfg = RenderConfig(fused_epipolar=(which == "fused"), ray_tile=1024)
+    cfg = RenderConfig(epipolar_mode=("fused" if which == "fused" else "exact"), ray_tile=1024)
     out = jax.jit(lambda p: render_image_gnt(
         models, p, dev["flat_cam_tgt"], dev["flat_cam_src_spatial"],
         dev["static_rgb_src_spatial"], (H, W), dev["depth_range"], cfg)["rgb"]

@@ -1,0 +1,182 @@
+"""Gather strategies round 2: pair-map / quad-map packing (forced execution).
+
+Idea: gathers on TPU cost per *row*; pack the bilinear footprint into the
+channel dim so one row carries more of the stencil:
+  * pair-map  [H, W, 2C]: row (y,x) holds pixels (y,x),(y,x+1) -> 2 taps
+  * quad-map  [H, W, 4C]: row (y,x) holds the full 2x2 patch   -> 1 tap
+All at the benchmark shape: one ray tile (2048 rays x 256 samples) x 10
+views, fused 36-channel maps (rgb 3 + feat 32 + mask 1).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pgdvs_tpu_jax_cache")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+H, W, V, C = 288, 550, 10, 36
+R, S = 2048, 256
+rng = np.random.default_rng(0)
+
+maps = jnp.asarray(rng.normal(size=(V, H, W, C)).astype(np.float32)).astype(
+    jnp.bfloat16
+)
+xs = [
+    jnp.asarray(rng.uniform(0, W - 2, (V, R, S)).astype(np.float32)) for _ in range(4)
+]
+ys = [
+    jnp.asarray(rng.uniform(0, H - 2, (V, R, S)).astype(np.float32)) for _ in range(4)
+]
+
+
+def timeit(name, fn, argsets, iters=3):
+    try:
+        _ = float(fn(*argsets[0]))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"exp": name, "error": str(e)[:300]}), flush=True)
+        return
+    t0 = time.time()
+    for i in range(iters):
+        _ = float(fn(*argsets[(i + 1) % len(argsets)]))
+    ms = (time.time() - t0) / iters * 1e3
+    print(json.dumps({"exp": name, "ms": round(ms, 1)}), flush=True)
+
+
+def flat_bilinear_4tap(imgs, x, y):
+    v, h, w, c = imgs.shape
+    flat = imgs.reshape(v * h * w, c)
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(imgs.dtype)
+    fy = (y - y0).astype(imgs.dtype)
+    base = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32) + offs).reshape(-1)
+    out = 0.0
+    for dd, wgt in (
+        (0, (1 - fx) * (1 - fy)),
+        (1, fx * (1 - fy)),
+        (w, (1 - fx) * fy),
+        (w + 1, fx * fy),
+    ):
+        out = out + jnp.take(flat, base + dd, axis=0) * wgt.reshape(-1, 1)
+    return jnp.sum(out)
+
+
+def make_pair_map(imgs):
+    # [V,H,W,C] -> [V,H,W,2C]: (y,x) -> [img[y,x], img[y,x+1]]
+    right = jnp.concatenate([imgs[:, :, 1:], imgs[:, :, -1:]], axis=2)
+    return jnp.concatenate([imgs, right], axis=-1)
+
+
+def pair_bilinear_2tap(pmap, x, y):
+    v, h, w, c2 = pmap.shape
+    c = c2 // 2
+    flat = pmap.reshape(v * h * w, c2)
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(pmap.dtype)
+    fy = (y - y0).astype(pmap.dtype)
+    base = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32) + offs).reshape(-1)
+    out = 0.0
+    for dd, wgt in ((0, 1 - fy), (w, fy)):
+        row = jnp.take(flat, base + dd, axis=0)  # [N, 2C]
+        wr = wgt.reshape(-1, 1)
+        out = out + (row[:, :c] * (1 - fx).reshape(-1, 1) + row[:, c:] * fx.reshape(-1, 1)) * wr
+    return jnp.sum(out)
+
+
+def make_quad_map(imgs):
+    right = jnp.concatenate([imgs[:, :, 1:], imgs[:, :, -1:]], axis=2)
+    rowp = jnp.concatenate([imgs, right], axis=-1)  # [V,H,W,2C]
+    down = jnp.concatenate([rowp[:, 1:], rowp[:, -1:]], axis=1)
+    return jnp.concatenate([rowp, down], axis=-1)  # [V,H,W,4C]
+
+
+def quad_bilinear_1tap(qmap, x, y):
+    v, h, w, c4 = qmap.shape
+    c = c4 // 4
+    flat = qmap.reshape(v * h * w, c4)
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(qmap.dtype).reshape(-1, 1)
+    fy = (y - y0).astype(qmap.dtype).reshape(-1, 1)
+    base = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32) + offs).reshape(-1)
+    row = jnp.take(flat, base, axis=0)  # [N, 4C]
+    top = row[:, :c] * (1 - fx) + row[:, c : 2 * c] * fx
+    bot = row[:, 2 * c : 3 * c] * (1 - fx) + row[:, 3 * c :] * fx
+    return jnp.sum(top * (1 - fy) + bot * fy)
+
+
+pmap = jax.jit(make_pair_map)(maps)
+qmap = jax.jit(make_quad_map)(maps)
+_ = float(jnp.sum(pmap)) + float(jnp.sum(qmap))
+
+timeit(
+    "fused36_4tap",
+    jax.jit(flat_bilinear_4tap),
+    [(maps, xs[i], ys[i]) for i in range(4)],
+)
+timeit(
+    "pair72_2tap",
+    jax.jit(pair_bilinear_2tap),
+    [(pmap, xs[i], ys[i]) for i in range(4)],
+)
+timeit(
+    "quad144_1tap",
+    jax.jit(quad_bilinear_1tap),
+    [(qmap, xs[i], ys[i]) for i in range(4)],
+)
+
+# nearest-neighbor single tap of 36ch = lower bound on any 1-row strategy
+def nearest_1tap(imgs, x, y):
+    v, h, w, c = imgs.shape
+    flat = imgs.reshape(v * h * w, c)
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
+    base = (
+        jnp.round(y).astype(jnp.int32) * w + jnp.round(x).astype(jnp.int32) + offs
+    ).reshape(-1)
+    return jnp.sum(jnp.take(flat, base, axis=0))
+
+
+timeit(
+    "nearest36_1tap",
+    jax.jit(nearest_1tap),
+    [(maps, xs[i], ys[i]) for i in range(4)],
+)
+
+# int8 variants: smaller rows
+maps_i8 = (maps.astype(jnp.float32) * 32).astype(jnp.int8)
+qmap_i8 = jax.jit(make_quad_map)(maps_i8)
+pmap_i8 = jax.jit(make_pair_map)(maps_i8)
+_ = float(jnp.sum(qmap_i8)) + float(jnp.sum(pmap_i8))
+
+
+def quad_i8(qm, x, y):
+    v, h, w, c4 = qm.shape
+    c = c4 // 4
+    flat = qm.reshape(v * h * w, c4)
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.bfloat16).reshape(-1, 1)
+    fy = (y - y0).astype(jnp.bfloat16).reshape(-1, 1)
+    base = (y0.astype(jnp.int32) * w + x0.astype(jnp.int32) + offs).reshape(-1)
+    row = jnp.take(flat, base, axis=0).astype(jnp.bfloat16)
+    top = row[:, :c] * (1 - fx) + row[:, c : 2 * c] * fx
+    bot = row[:, 2 * c : 3 * c] * (1 - fx) + row[:, 3 * c :] * fx
+    return jnp.sum((top * (1 - fy) + bot * fy).astype(jnp.float32))
+
+
+timeit(
+    "quad144_i8_1tap",
+    jax.jit(quad_i8),
+    [(qmap_i8, xs[i], ys[i]) for i in range(4)],
+)

@@ -206,3 +206,44 @@ def test_debug_dumps(setup, tmp_path):
 
     dump_epipolar_overlay(data, tmp_path / "epi")
     assert (tmp_path / "epi" / "epi_src_00.png").exists()
+
+
+def test_stride_resize_gt_protocol():
+    """render_stride>1 metric protocol: GT is quantized FIRST, then bicubic-
+    antialias resized (align_corners) and the mask nearest-resized, with no
+    re-quantization (evaluator_pgdvs.py:73-92)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from pgdvs_tpu.engines.evaluator import (
+        compute_nvidia_metrics,
+        resize_gt_to_render,
+    )
+    from pgdvs_tpu.metrics.psnr_ssim import quantize_uint8
+
+    rng = np.random.default_rng(0)
+    gt_full = rng.uniform(0, 1, (32, 40, 3))
+    mask_full = (rng.uniform(size=(32, 40, 1)) > 0.5).astype(np.float64)
+    pred_half = rng.uniform(0, 1, (16, 20, 3))
+
+    gt_q = quantize_uint8(gt_full)
+    gt_r, mask_r = resize_gt_to_render(gt_q, mask_full, (16, 20))
+    assert gt_r.shape == (16, 20, 3)
+    assert mask_r.shape == (16, 20, 1)
+    assert set(np.unique(mask_r)) <= {0.0, 1.0}
+
+    # oracle: torch's own interpolate on the quantized GT
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.tensor(gt_q, dtype=torch.float32).permute(2, 0, 1)[None],
+            size=(16, 20), mode="bicubic", antialias=True, align_corners=True,
+        )[0].permute(1, 2, 0).numpy()
+    )
+    np.testing.assert_allclose(gt_r, ref, atol=1e-6)
+
+    m = compute_nvidia_metrics(
+        pred_half, gt_r, mask_r, lpips_fn=None, quantize_gt=False
+    )
+    for k in ("psnr_full", "ssim_full", "psnr_dyn", "psnr_static"):
+        assert np.isfinite(m[k]), k

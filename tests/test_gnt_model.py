@@ -234,3 +234,117 @@ def test_fused_epipolar_close_to_exact():
         np.asarray(fused["mask"]) == np.asarray(exact["mask"])
     ).mean()
     assert agree > 0.97
+
+
+def test_quad_epipolar_matches_fused():
+    """Quad-map (1 gather row/tap) sampling must equal fused-map (4 taps)
+    sampling bit-for-bit inside the image interior, and the views-outer
+    layout must be the plain transpose of the default layout."""
+    import jax
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.models.gnt.projector import (
+        build_fused_maps,
+        build_quad_maps,
+        epipolar_sample_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    v, h, w, f = 3, 32, 40, 8
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 40.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.1 * i, -0.05 * i, 0.0]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    tgt = cams[0]
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(v, h // 4, w // 4, f)).astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(v, h, w, 1)) > 0.8).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(16, 8, 3)).astype(np.float32) * 0.5)
+    pts = pts.at[..., 2].set(jnp.abs(pts[..., 2]) + 2.0)
+
+    fmaps = build_fused_maps(rgbs, feats, masks)
+    qmaps = build_quad_maps(rgbs, feats, masks)
+    fused = epipolar_sample_fused(pts, tgt, cams, fmaps, with_mask=True)
+    quad = epipolar_sample_fused(pts, tgt, cams, qmaps, with_mask=True, quad=True)
+
+    # interior taps must agree to float rounding; border taps may differ
+    # (edge-clamped quad stencil vs zero-pad) but are masked out anyway
+    inb = np.asarray(fused["mask_inbound"])[..., 0] > 0
+    for key in ("rgb_feat", "mask", "mask_invalid"):
+        a, b = np.asarray(fused[key]), np.asarray(quad[key])
+        np.testing.assert_allclose(a[inb], b[inb], atol=1e-5, err_msg=key)
+
+    vo = epipolar_sample_fused(
+        pts, tgt, cams, qmaps, with_mask=True, quad=True, views_outer=True
+    )
+    for key in ("rgb_feat", "ray_diff", "mask"):
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(vo[key]), 0, 2), np.asarray(quad[key]), err_msg=key
+        )
+
+
+def test_render_rays_quad_views_outer_matches_exact_flax():
+    """Full render_rays_gnt: quad+views_outer+pallas(interpret) path must
+    match the exact-sampling flax path."""
+    import jax
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.static_gnt import (
+        init_gnt_params,
+        make_gnt_models,
+        render_image_gnt,
+    )
+
+    rng = np.random.default_rng(3)
+    v, h, w = 3, 24, 32
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 30.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.05 * i, 0.0, -0.1 * i]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    models = make_gnt_models(dtype="float32", ret_view_std=False)
+    params = init_gnt_params(jax.random.PRNGKey(0), *models, n_src=v)
+    depth_range = jnp.asarray([1.0, 6.0], jnp.float32)
+
+    base = dict(n_coarse_samples_per_ray=16, ray_tile=256)
+    cfg_exact = RenderConfig(
+        **base, epipolar_mode="exact", use_pallas_gnt=False
+    )
+    cfg_fused = RenderConfig(
+        **base, epipolar_mode="fused", use_pallas_gnt=True, pallas_ray_block=8
+    )
+    cfg_quad = RenderConfig(
+        **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8
+    )
+
+    def render(cfg):
+        return jax.jit(
+            lambda p: render_image_gnt(
+                models, p, cams[0], cams, rgbs, (h, w), depth_range, cfg
+            )
+        )(params)
+
+    out_e, out_f, out_q = render(cfg_exact), render(cfg_fused), render(cfg_quad)
+    # quad packs the same fused maps into the channel dim: vs the 4-tap
+    # fused mode only float summation order differs (both bf16 kernels)
+    np.testing.assert_allclose(
+        np.asarray(out_q["rgb"]), np.asarray(out_f["rgb"]), atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_q["depth"]), np.asarray(out_f["depth"]), atol=0.1
+    )
+    # vs exact sampling + f32 flax: differences stack (bf16 kernel,
+    # pre-upsampled features) — bound loosely; with random untrained
+    # weights the rgb head output spans ~[-2, 2]
+    rgb_err = np.abs(np.asarray(out_q["rgb"]) - np.asarray(out_e["rgb"]))
+    assert np.quantile(rgb_err, 0.99) < 0.1, np.quantile(rgb_err, 0.99)
+    assert rgb_err.max() < 0.3, rgb_err.max()
