@@ -129,38 +129,57 @@ def _view_matrix(z, up, pos):
     return np.stack([vec0, vec1, vec2, pos], axis=1)
 
 
+def rotation_geodesic_dist(r_ref: np.ndarray, rs: np.ndarray) -> np.ndarray:
+    """Angular distance between rotation matrices
+    (``base.py:583-603`` batched_angular_dist_rot_matrix)."""
+    tr = np.trace(np.einsum("nij,ik->njk", rs.transpose(0, 2, 1), r_ref),
+                  axis1=1, axis2=2)
+    return np.arccos(np.clip((tr - 1.0) / 2.0, -1.0 + 1e-6, 1.0 - 1e-6))
+
+
 def sort_poses_wrt_ref(
     ref_c2w: np.ndarray,
     c2ws: np.ndarray,
     metric: str = "dist",
+    scene_center=(0.0, 0.0, 0.0),
+    tgt_id: int = -1,
 ) -> np.ndarray:
     """Rank source cameras by closeness to a reference camera.
 
-    Metrics mirror the reference's source-view selection
+    The method set mirrors the reference's selection exactly
     (``/root/reference/pgdvs/datasets/base.py:413-474``):
-      * ``dist``: translation distance;
-      * ``angle``: angle between viewing (z) axes;
-      * ``geodesic``: rotation geodesic distance;
-      * ``matrix``: combined Frobenius pose distance.
+      * ``dist``: camera-center euclidean distance;
+      * ``vector``: angle between camera-center vectors around scene_center;
+      * ``matrix``: rotation geodesic distance;
+      * ``dist_matrix``: min-max-normalized sum of ``matrix`` and ``dist``.
 
-    Returns indices of ``c2ws`` sorted most-similar first.
+    ``tgt_id >= 0`` excludes that index (pushed to the end). Returns indices
+    of ``c2ws`` sorted most-similar first.
     """
+    t_ref = ref_c2w[:3, 3]
+    t = c2ws[:, :3, 3]
     if metric == "dist":
-        d = np.linalg.norm(c2ws[:, :3, 3] - ref_c2w[:3, 3], axis=-1)
-    elif metric == "angle":
-        z_ref = _normalize(ref_c2w[:3, 2])
-        z = c2ws[:, :3, 2] / np.linalg.norm(c2ws[:, :3, 2], axis=-1, keepdims=True)
-        d = np.arccos(np.clip(z @ z_ref, -1.0, 1.0))
-    elif metric == "geodesic":
-        rel = np.einsum("ij,njk->nik", ref_c2w[:3, :3].T, c2ws[:, :3, :3])
-        tr = np.trace(rel, axis1=-2, axis2=-1)
-        d = np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0))
-    elif metric == "matrix":
-        d = np.linalg.norm(
-            (c2ws[:, :3, :4] - ref_c2w[:3, :4]).reshape(len(c2ws), -1), axis=-1
-        )
+        d = np.linalg.norm(t - t_ref, axis=-1)
+    elif metric == "vector":
+        center = np.asarray(scene_center, np.float64)
+        v_ref = t_ref - center
+        v = t - center
+        vu = v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
+        ru = v_ref / (np.linalg.norm(v_ref) + 1e-6)
+        d = np.arccos(np.clip(vu @ ru, -1.0, 1.0))
+    elif metric in ("matrix", "geodesic"):
+        d = rotation_geodesic_dist(ref_c2w[:3, :3], c2ws[:, :3, :3])
+    elif metric == "dist_matrix":
+        d1 = rotation_geodesic_dist(ref_c2w[:3, :3], c2ws[:, :3, :3])
+        d1 = (d1 - d1.min()) / (d1.max() - d1.min() + 1e-8)
+        d2 = np.linalg.norm(t - t_ref, axis=-1)
+        d2 = (d2 - d2.min()) / (d2.max() - d2.min() + 1e-8)
+        d = d1 + d2
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    if tgt_id >= 0:
+        d = d.copy()
+        d[tgt_id] = 1e8
     return np.argsort(d)
 
 

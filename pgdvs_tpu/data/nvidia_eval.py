@@ -77,6 +77,7 @@ class NvidiaEvalDataset:
         flow_consist_thres: float = 1.0,
         with_track_sources: bool = False,
         tgt_height: int = TGT_HEIGHT,
+        spatial_dist_method: str = "dist",
     ):
         root = pathlib.Path(data_root)
         self.raw_dir = root / raw_data_dir
@@ -89,6 +90,7 @@ class NvidiaEvalDataset:
         self.with_track_sources = with_track_sources
         self.use_zoe_depth = use_zoe_depth
         self.tgt_height = tgt_height
+        self.spatial_dist_method = spatial_dist_method
         self.zoe_depth_path = (
             root / zoe_depth_data_path if zoe_depth_data_path else None
         )
@@ -292,8 +294,14 @@ class NvidiaEvalDataset:
         else:
             pool = list(range(max(0, tgt_frame - N_CAMS), min(n_frames, tgt_frame + N_CAMS)))
         tgt_c2w = all_c2w[tgt_cam_id]  # poses repeat every 12: cam id indexes them
-        d = np.linalg.norm(all_c2w[pool][:, :3, 3] - tgt_c2w[:3, 3], axis=-1)
-        spatial = sorted([pool[i] for i in np.argsort(d)[: self.n_spatial]])
+        # camera-distance ranking; method set mirrors base.py:413-474
+        # (reference NVIDIA protocol uses 'dist' — nvidia_eval.py:343-350)
+        from pgdvs_tpu.core.geometry import sort_poses_wrt_ref
+
+        order = sort_poses_wrt_ref(
+            tgt_c2w, all_c2w[pool], metric=self.spatial_dist_method
+        )
+        spatial = sorted([pool[i] for i in order[: self.n_spatial]])
 
         sp_rgb, sp_mask, sp_depth, sp_cam = self._frame_bundle(
             scene, spatial, all_c2w, all_hwf, h, w

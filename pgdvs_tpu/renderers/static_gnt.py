@@ -98,17 +98,12 @@ def render_rays_gnt(
         sampling.
 
     Returns dict of per-ray outputs (rgb, depth, weights, inbound_cnt,
-    dyn_cnt, view_std, view_std_normalized).
+    dyn_cnt, view_std, view_std_normalized). With
+    ``cfg.n_fine_samples_per_ray > 0`` a second GNT pass runs on the
+    importance-resampled (coarse + fine) z values and its outputs are
+    returned (the reference's outputs_fine — ``gnt/renderer.py:290-412``).
     """
     n_src = src_cams.shape[0]
-    pts, z_vals = sampling.sample_along_rays(
-        rays_o,
-        rays_d,
-        depth_range,
-        cfg.n_coarse_samples_per_ray,
-        inv_uniform=cfg.sample_inv_uniform,
-        deterministic=True,
-    )
     use_pallas = (
         cfg.use_pallas_gnt
         and not gnt.ret_view_std
@@ -119,80 +114,109 @@ def render_rays_gnt(
     # the fused kernel consumes views-outer [V, R, S, *] natively; producing
     # it at the sampler skips two full-tensor HBM transposes per tile
     views_outer = use_pallas
-    if src_fused_maps is not None:
-        proj = epipolar_sample_fused(
-            pts, tgt_cam, src_cams, src_fused_maps,
-            with_mask=cfg.gnt_use_dyn_mask,
-            quad=cfg.epipolar_mode == "quad",
-            views_outer=views_outer,
-        )
-    else:
-        proj = epipolar_sample(
-            pts,
-            tgt_cam,
-            src_cams,
-            src_rgbs,
-            src_feats,
-            src_invalid_masks if cfg.gnt_use_dyn_mask else None,
-            sample_dtype=gnt.dtype if gnt.dtype != "float32" else None,
-            views_outer=views_outer,
-        )
     # axis of the view dim in proj["mask_*"][..., 0] ([V,R,S] vs [R,S,V])
     view_axis = 0 if views_outer else -1
-    if use_pallas:
-        from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
-        from pgdvs_tpu.models.gnt.network import sinusoidal_embed
 
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        out = gnt_fused_apply(
-            gnt_params,
-            proj["rgb_feat"],
-            proj["ray_diff"],
-            proj["mask"],
-            sinusoidal_embed(pts),
-            sinusoidal_embed(viewdirs),
-            ray_block=cfg.pallas_ray_block,
-            # Pallas TPU kernels only interpret on CPU (tests / virtual mesh)
-            interpret=jax.default_backend() == "cpu",
-            views_outer=views_outer,
+    def gnt_pass(pts, z_vals):
+        if src_fused_maps is not None:
+            proj = epipolar_sample_fused(
+                pts, tgt_cam, src_cams, src_fused_maps,
+                with_mask=cfg.gnt_use_dyn_mask,
+                quad=cfg.epipolar_mode == "quad",
+                views_outer=views_outer,
+            )
+        else:
+            proj = epipolar_sample(
+                pts,
+                tgt_cam,
+                src_cams,
+                src_rgbs,
+                src_feats,
+                src_invalid_masks if cfg.gnt_use_dyn_mask else None,
+                sample_dtype=gnt.dtype if gnt.dtype != "float32" else None,
+                views_outer=views_outer,
+            )
+        if use_pallas:
+            from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
+            from pgdvs_tpu.models.gnt.network import sinusoidal_embed
+
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            out = gnt_fused_apply(
+                gnt_params,
+                proj["rgb_feat"],
+                proj["ray_diff"],
+                proj["mask"],
+                sinusoidal_embed(pts),
+                sinusoidal_embed(viewdirs),
+                ray_block=cfg.pallas_ray_block,
+                # Pallas TPU kernels only interpret on CPU (tests / virtual)
+                interpret=jax.default_backend() == "cpu",
+                views_outer=views_outer,
+            )
+            zeros_std = jnp.zeros(
+                rays_o.shape[:1] + (z_vals.shape[-1], gnt.depth + 1),
+                jnp.float32,
+            )
+            out = dict(out, view_std=zeros_std, view_std_normalized=zeros_std)
+        else:
+            out = gnt.apply(
+                gnt_params,
+                proj["rgb_feat"],
+                proj["ray_diff"],
+                proj["mask"],
+                pts,
+                rays_d,
+            )
+        weights = out["weights"]  # [R, S]
+        depth = jnp.sum(weights * z_vals, axis=-1)
+        inbound_cnt = jnp.sum(
+            weights
+            * jnp.sum(proj["mask_inbound"][..., 0], axis=view_axis) / n_src,
+            axis=-1,
         )
-        zeros_std = jnp.zeros(
-            rays_o.shape[:1] + (cfg.n_coarse_samples_per_ray, gnt.depth + 1),
-            jnp.float32,
+        dyn_cnt = jnp.sum(
+            weights
+            * jnp.sum(proj["mask_invalid"][..., 0], axis=view_axis) / n_src,
+            axis=-1,
         )
-        out = dict(out, view_std=zeros_std, view_std_normalized=zeros_std)
-    else:
-        out = gnt.apply(
-            gnt_params,
-            proj["rgb_feat"],
-            proj["ray_diff"],
-            proj["mask"],
-            pts,
-            rays_d,
-        )
-    weights = out["weights"]  # [R, S]
-    depth = jnp.sum(weights * z_vals, axis=-1)
-    inbound_cnt = jnp.sum(
-        weights * jnp.sum(proj["mask_inbound"][..., 0], axis=view_axis) / n_src,
-        axis=-1,
+        return {
+            "rgb": out["rgb"],
+            "depth": depth,
+            "weights": weights,
+            "inbound_cnt": inbound_cnt,
+            "dyn_cnt": dyn_cnt,
+            # per-layer diagnostics composited along the ray by the same
+            # weights (gnt/renderer.py:297-311)
+            "view_std": jnp.sum(weights[..., None] * out["view_std"], axis=-2),
+            "view_std_normalized": jnp.sum(
+                weights[..., None] * out["view_std_normalized"], axis=-2
+            ),
+        }
+
+    pts, z_vals = sampling.sample_along_rays(
+        rays_o,
+        rays_d,
+        depth_range,
+        cfg.n_coarse_samples_per_ray,
+        inv_uniform=cfg.sample_inv_uniform,
+        deterministic=True,
     )
-    dyn_cnt = jnp.sum(
-        weights * jnp.sum(proj["mask_invalid"][..., 0], axis=view_axis) / n_src,
-        axis=-1,
-    )
-    return {
-        "rgb": out["rgb"],
-        "depth": depth,
-        "weights": weights,
-        "inbound_cnt": inbound_cnt,
-        "dyn_cnt": dyn_cnt,
-        # per-layer diagnostics composited along the ray by the same weights
-        # (gnt/renderer.py:297-311)
-        "view_std": jnp.sum(weights[..., None] * out["view_std"], axis=-2),
-        "view_std_normalized": jnp.sum(
-            weights[..., None] * out["view_std_normalized"], axis=-2
-        ),
-    }
+    out = gnt_pass(pts, z_vals)
+
+    if cfg.n_fine_samples_per_ray > 0:
+        # importance resampling from the coarse compositing weights, then a
+        # second full GNT pass on the merged (sorted) coarse+fine z values
+        # (gnt/renderer.py:290-337 + ray_sampler.py:183-220)
+        z_fine = sampling.sample_fine_z_vals(
+            z_vals,
+            out["weights"],
+            cfg.n_fine_samples_per_ray,
+            inv_uniform=cfg.sample_inv_uniform,
+            deterministic=True,
+        )
+        pts_fine = rays_o[:, None, :] + z_fine[..., None] * rays_d[:, None, :]
+        out = gnt_pass(pts_fine, z_fine)
+    return out
 
 
 def render_image_gnt(

@@ -169,3 +169,94 @@ def test_dataset_feeds_renderer(fake_scene):
     mask = np.asarray(out["mask"])
     assert np.isfinite(np.asarray(out["rgb"])).all()
     assert mask.sum() > 20  # dynamic square reprojected into the target
+
+
+def test_zip_reader_roundtrip(tmp_path):
+    """Lazy zip reader: image/npz/npy round trips + pickling drops handle."""
+    import io
+    import pickle
+    import zipfile
+
+    import numpy as np
+    import PIL.Image
+
+    from pgdvs_tpu.data.base import ZipReader
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (8, 10, 3)).astype(np.uint8)
+    arr = rng.normal(size=(4, 5)).astype(np.float32)
+
+    zpath = tmp_path / "data.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        buf = io.BytesIO()
+        PIL.Image.fromarray(img).save(buf, format="PNG")
+        zf.writestr("scene/img.png", buf.getvalue())
+        buf = io.BytesIO()
+        np.savez(buf, flow=arr)
+        zf.writestr("scene/f.npz", buf.getvalue())
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        zf.writestr("scene/a.npy", buf.getvalue())
+
+    zr = ZipReader(zpath)
+    np.testing.assert_array_equal(zr.read_image("scene/img.png"), img)
+    np.testing.assert_array_equal(zr.read_npz("scene/f.npz")["flow"], arr)
+    np.testing.assert_array_equal(zr.read_npy("scene/a.npy"), arr)
+    assert zr.exists("scene/img.png") and not zr.exists("nope")
+
+    zr2 = pickle.loads(pickle.dumps(zr))  # worker handoff
+    np.testing.assert_array_equal(zr2.read_npy("scene/a.npy"), arr)
+
+
+def test_modify_k_wrt_crop_matches_reference_math():
+    import numpy as np
+
+    from pgdvs_tpu.data.base import center_crop, modify_K_wrt_crop
+
+    raw_h, raw_w = 96, 128
+    k = np.array(
+        [[100.0 / raw_w, 0, 64.0 / raw_w], [0, 100.0 / raw_h, 48.0 / raw_h],
+         [0, 0, 1]]
+    )
+    img = np.zeros((raw_h, raw_w, 3))
+    crop, info = center_crop(img, 64, 64)
+    assert crop.shape[:2] == (64, 64)
+    k2 = modify_K_wrt_crop(
+        k, (raw_h, raw_w), (info["h_start"], info["w_start"]), (64, 64)
+    )
+    # denormalized focal unchanged; principal point shifted by crop start
+    assert np.isclose(k2[0, 0] * 64, 100.0)
+    assert np.isclose(k2[1, 1] * 64, 100.0)
+    assert np.isclose(k2[0, 2] * 64, 64.0 - info["w_start"])
+    assert np.isclose(k2[1, 2] * 64, 48.0 - info["h_start"])
+
+
+def test_sort_poses_dist_methods():
+    """All four reference dist methods produce sane rankings
+    (base.py:413-474)."""
+    import numpy as np
+
+    from pgdvs_tpu.core.geometry import sort_poses_wrt_ref
+
+    rng = np.random.default_rng(1)
+
+    def pose(t, angle):
+        c, s = np.cos(angle), np.sin(angle)
+        m = np.eye(4)
+        m[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        m[:3, 3] = t
+        return m
+
+    ref = pose([0, 0, 0], 0.0)
+    poses = np.stack(
+        [pose([0.1 * i, 0, 0], 0.05 * i) for i in range(1, 6)]
+    )
+    for method in ("dist", "vector", "matrix", "dist_matrix"):
+        order = sort_poses_wrt_ref(
+            ref, poses, metric=method, scene_center=(0, 0, -5.0)
+        )
+        assert list(order) == [0, 1, 2, 3, 4], (method, order)
+
+    # tgt_id exclusion pushes the target to the end
+    order = sort_poses_wrt_ref(ref, poses, metric="dist", tgt_id=0)
+    assert order[-1] == 0

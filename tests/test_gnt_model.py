@@ -348,3 +348,52 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     rgb_err = np.abs(np.asarray(out_q["rgb"]) - np.asarray(out_e["rgb"]))
     assert np.quantile(rgb_err, 0.99) < 0.1, np.quantile(rgb_err, 0.99)
     assert rgb_err.max() < 0.3, rgb_err.max()
+
+
+def test_render_with_fine_importance_resampling():
+    """n_fine_samples_per_ray > 0 runs the second GNT pass on merged coarse
+    + fine z values (reference gnt/renderer.py:290-412)."""
+    import jax
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.static_gnt import (
+        init_gnt_params,
+        make_gnt_models,
+        render_image_gnt,
+    )
+
+    rng = np.random.default_rng(9)
+    v, h, w = 2, 16, 24
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 24.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = jnp.asarray(
+        np.stack(
+            [
+                np.asarray(cam_mod.make_flat_cam(h, w, k, np.eye(4)), np.float32)
+                for _ in range(v)
+            ]
+        )
+    )
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    models = make_gnt_models(dtype="float32", ret_view_std=False)
+    params = init_gnt_params(jax.random.PRNGKey(0), *models, n_src=v)
+    dr = jnp.asarray([1.0, 6.0], jnp.float32)
+
+    for use_pallas in (False, True):
+        cfg = RenderConfig(
+            n_coarse_samples_per_ray=8,
+            n_fine_samples_per_ray=8,
+            ray_tile=128,
+            use_pallas_gnt=use_pallas,
+            pallas_ray_block=8,
+            epipolar_mode="quad" if use_pallas else "exact",
+        )
+        out = jax.jit(
+            lambda p: render_image_gnt(
+                models, p, cams[0], cams, rgbs, (h, w), dr, cfg
+            )
+        )(params)
+        assert out["rgb"].shape == (h, w, 3)
+        assert out["weights"].shape == (h, w, 16)  # coarse + fine
+        assert np.isfinite(np.asarray(out["rgb"])).all()

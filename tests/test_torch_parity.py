@@ -168,3 +168,49 @@ def test_gnt_fused_kernel_parity_vs_torch():
     # kernel computes in bf16 -> loose tolerance; rgb is bounded ~O(1)
     np.testing.assert_allclose(np.asarray(got["rgb"]), ref_rgb, atol=0.05)
     np.testing.assert_allclose(np.asarray(got["weights"]), ref_weights, atol=0.05)
+
+
+def test_sample_pdf_and_fine_zvals_parity():
+    """CDF inversion + fine z merge vs the reference torch implementation
+    (ray_sampler.py:10-56, 183-220)."""
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from pgdvs.models.gnt.ray_sampler import sample_pdf as t_sample_pdf
+    from pgdvs.models.gnt.ray_sampler import sample_fine_pts as t_sample_fine
+
+    from pgdvs_tpu.core.sampling import sample_fine_z_vals, sample_pdf
+
+    rng = np.random.default_rng(5)
+    n_rays, m = 7, 15
+    bins = np.sort(rng.uniform(1.0, 6.0, (n_rays, m + 1)), axis=-1).astype(
+        np.float32
+    )
+    weights = rng.uniform(0, 1, (n_rays, m)).astype(np.float32)
+    weights[2] = 0.0  # degenerate row
+
+    ref = t_sample_pdf(
+        torch.tensor(bins), torch.tensor(weights), N_samples=9, det=True
+    ).numpy()
+    got = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 9))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # full fine-merge path (inv_uniform, the benchmark mode)
+    z_vals = np.sort(rng.uniform(1.0, 8.0, (n_rays, 16)), axis=-1).astype(
+        np.float32
+    )
+    w = rng.uniform(0, 1, (n_rays, 16)).astype(np.float32)
+    ray_batch = {
+        "ray_o": torch.zeros(n_rays, 3),
+        "ray_d": torch.ones(n_rays, 3),
+    }
+    _, ref_z = t_sample_fine(
+        inv_uniform=True, N_importance=8, det=True, N_samples=16,
+        ray_batch=ray_batch, weights=torch.tensor(w),
+        z_vals=torch.tensor(z_vals),
+    )
+    got_z = np.asarray(
+        sample_fine_z_vals(jnp.asarray(z_vals), jnp.asarray(w), 8,
+                           inv_uniform=True)
+    )
+    np.testing.assert_allclose(got_z, ref_z.numpy(), rtol=1e-4, atol=1e-5)
