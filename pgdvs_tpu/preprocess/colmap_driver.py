@@ -93,3 +93,30 @@ def run_colmap(
             ]
         )
     return model
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="COLMAP SfM driver (feature -> match -> map -> BA -> "
+        "undistort) + poses_bounds.npy conversion"
+    )
+    p.add_argument("--rgb-dir", required=True)
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--mask-dir", default=None)
+    p.add_argument("--camera-model", default="SIMPLE_RADIAL")
+    args = p.parse_args(argv)
+    if not colmap_available():
+        raise SystemExit("colmap binary not found on PATH")
+    run_colmap(
+        args.work_dir,
+        args.rgb_dir,
+        mask_dir=args.mask_dir,
+        camera_model=args.camera_model,
+    )
+    print(f"COLMAP outputs under {args.work_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,54 @@ def align_video(
             }
         )
     return out
+
+
+def main(argv=None):
+    """CLI: align monocular depth to COLMAP MVS depth in disparity space.
+
+    --zoe-dir holds per-frame predicted depth npz ({depth} or first array);
+    --colmap-dir holds matching sparse/MVS depth npz; writes per-frame npz
+    with the 4 scale/shift variants (the dataset's use_zoe_depth choices).
+    """
+    import argparse
+    import pathlib
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--zoe-dir", required=True)
+    p.add_argument("--colmap-dir", required=True)
+    p.add_argument("--save-dir", required=True)
+    args = p.parse_args(argv)
+
+    zoe_dir = pathlib.Path(args.zoe_dir)
+    colmap_dir = pathlib.Path(args.colmap_dir)
+    save_dir = pathlib.Path(args.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    def load_any(f):
+        z = np.load(f)
+        if hasattr(z, "files"):
+            key = "depth" if "depth" in z.files else z.files[0]
+            return np.asarray(z[key])
+        return np.asarray(z)
+
+    zoe_fs = sorted(zoe_dir.glob("*.npz")) + sorted(zoe_dir.glob("*.npy"))
+    preds, mvs = [], []
+    for f in zoe_fs:
+        preds.append(load_any(f))
+        mvs_f = None
+        for ext in (".npz", ".npy"):
+            cand = colmap_dir / (f.stem + ext)
+            if cand.is_file():
+                mvs_f = cand
+                break
+        assert mvs_f is not None, f"no MVS depth for {f.stem}"
+        mvs.append(load_any(mvs_f))
+
+    infos = align_video(preds, mvs)
+    for f, pred, info in zip(zoe_fs, preds, infos):
+        np.savez(save_dir / f"{f.stem}.npz", depth=pred, **info)
+    print(f"aligned {len(infos)} frames -> {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -108,3 +108,89 @@ def epipolar_motion_mask(
         dist = e_dist(flow_fwd, w2c_post, k_post) * consist_fwd
 
     return _binary_opening_disk1(dist > threshold)
+
+
+def main(argv=None):
+    """CLI: geometric motion masks for a scene from flows + COLMAP poses.
+
+    Expects the compute_flow npz layout under --flow-dir (interval_1/) and a
+    poses/<stem>.npz {c2w, K} directory (depth_converters layout) or a
+    poses_bounds.npy; writes final/<stem>_final.png masks (the on-disk name
+    the datasets read).
+    """
+    import argparse
+    import pathlib
+
+    import PIL.Image
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--rgb-dir", required=True)
+    p.add_argument("--flow-dir", required=True)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--pose-dir", default=None,
+                   help="poses/<stem>.npz dir; default <rgb-dir>/../poses")
+    p.add_argument("--threshold", type=float, default=1.0)
+    p.add_argument("--consist-thres", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    rgb_dir = pathlib.Path(args.rgb_dir)
+    flow_dir = pathlib.Path(args.flow_dir) / "interval_1"
+    pose_dir = pathlib.Path(args.pose_dir or rgb_dir.parent / "poses")
+    save_dir = pathlib.Path(args.save_dir) / "final"
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    stems = sorted(
+        f.stem for f in rgb_dir.iterdir()
+        if f.suffix.lower() in (".png", ".jpg", ".jpeg")
+    )
+
+    def load_pose(stem):
+        z = np.load(pose_dir / f"{stem}.npz")
+        c2w = np.asarray(z["c2w"], np.float64)
+        return np.linalg.inv(c2w), np.asarray(z["K"], np.float64)
+
+    def load_flow(i, j):
+        f = flow_dir / f"{i:05d}_{j:05d}.npz"
+        if not f.is_file():
+            return None, None
+        z = np.load(f)
+        consist = (
+            np.sum(np.abs(z["coord_diff"]), axis=2) <= args.consist_thres
+        )
+        return np.asarray(z["flow"], np.float32), consist
+
+    n = len(stems)
+    for i, stem in enumerate(stems):
+        w2c_ref, k_ref = load_pose(stem)
+        flow_fwd = flow_bwd = None
+        consist_fwd = consist_bwd = None
+        w2c_post = k_post = w2c_prev = k_prev = None
+        if i + 1 < n:
+            flow_fwd, consist_fwd = load_flow(i, i + 1)
+            if flow_fwd is not None:
+                w2c_post, k_post = load_pose(stems[i + 1])
+        if i > 0:
+            flow_bwd, consist_bwd = load_flow(i, i - 1)
+            if flow_bwd is not None:
+                w2c_prev, k_prev = load_pose(stems[i - 1])
+        mask = epipolar_motion_mask(
+            flow_fwd=flow_fwd,
+            flow_bwd=flow_bwd,
+            consist_fwd=consist_fwd,
+            consist_bwd=consist_bwd,
+            w2c_ref=w2c_ref,
+            k_ref=k_ref,
+            w2c_prev=w2c_prev,
+            k_prev=k_prev,
+            w2c_post=w2c_post,
+            k_post=k_post,
+            threshold=args.threshold,
+        )
+        PIL.Image.fromarray((mask * 255).astype(np.uint8)).save(
+            save_dir / f"{stem}_final.png"
+        )
+    print(f"wrote {n} masks -> {save_dir}")
+
+
+if __name__ == "__main__":
+    main()
