@@ -1,31 +1,34 @@
-"""Fused GNT transformer — one Pallas kernel per ray block.
+"""Fused GNT transformer — scanned Pallas view/ray kernels.
 
 The XLA version of the depth-8 GNT materializes every [rays, samples, views,
-64] intermediate in HBM (~15 passes x 0.7GB per block per tile), making the
-transformer HBM-bound at ~28 s per 288x550 view. This kernel keeps a block
-of rays resident in VMEM through ALL 8 transformer blocks + the rgb head:
-HBM traffic collapses to reading the epipolar inputs once and writing
-[rgb, weights] once.
+64] intermediate in HBM (~9 GB per block per 2048-ray tile even in bf16),
+making the transformer HBM-bound. Here each transformer *block* runs as two
+Pallas kernels that keep all intermediates in VMEM:
+
+  * `_view_kernel`: subtraction attention over source views — every dense
+    layer is ONE [views*rays*samples, 64] matmul (a per-view matmul loop
+    leaves the MXU ~10x underfed), masked view softmax via static
+    views-outer slice arithmetic;
+  * `_ray_kernel`: 4-head QK attention over samples + feed-forward.
+
+A jax-level `lax.scan` over the pair-stacked weights (the flax nn.scan
+layout) applies the pair body [view -> q_fc (XLA) -> ray -> view -> ray]
+4 times. Each kernel is compiled ONCE: this backend's Mosaic compile time
+is superlinear in program size (a monolithic 8-block kernel took tens of
+minutes to compile; individual ops compile in ~1 s), so the block stack
+must be factored into small kernels — the cost is the [rays, samples, 64]
+query tokens (and the per-view token tensor) round-tripping HBM between
+kernels, ~0.6 s/image of traffic at benchmark scale.
 
 Matches `pgdvs_tpu.models.gnt.network.GNT` (depth 8, width 64, bf16) —
-`flatten_gnt_params` adapts the flax param tree (scanned pair layout) into
-the kernel's flat weight list, and the unit test checks numerical agreement
-against `GNT.apply`.
+`flatten_gnt_params` adapts the flax param tree, and the unit tests check
+numerical agreement against `GNT.apply` and the reference torch network.
 
-Mosaic-layout design notes (the kernel compiles on real Mosaic, which
-rejects most mixed reshapes):
-  * token tensors live in 2D [views * rays * samples, C] with views OUTER;
-    per-view slices are STATIC sublane slices, so all cross-view reductions
-    (masked softmax, maxpool) are unrolled slice arithmetic — no
-    [ns, V, C] 3D tensors, no repeats (query broadcast = sublane concat);
-    every dense layer runs on ALL views' tokens in ONE [n_view_tokens, C]
-    matmul (a per-view matmul loop leaves the MXU ~10x underfed);
-  * the validity mask rides as an extra input channel of rgb_feat, so the
-    per-token -inf bias is a lane slice, never a lanes->sublanes relayout;
-  * ray attention runs per head with lane slices + single-batch-dim
-    dot_general (Mosaic supports at most one batch dim);
-  * the per-sample weights output keeps its singleton axis ([R, 1, S]) to
-    avoid an unsupported squeeze-reshape; callers squeeze in XLA.
+Mosaic layout notes: token tensors are 2D [views*rays*samples, C] with
+views OUTER (per-view slices are static sublane slices; query broadcast =
+sublane concat); ray attention uses lane slices per head +
+single-batch-dim dot_general; the per-sample weights output keeps its
+singleton axis ([R, 1, S]) to avoid an unsupported squeeze-reshape.
 """
 
 from __future__ import annotations
@@ -41,16 +44,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 NW = 64  # netwidth
 DEPTH = 8
+N_PAIRS = DEPTH // 2
 HEADS = 4
 POSENC = 63  # 3 + 3*2*10
 NEG = -1e30
 
+# weight counts per sub-module (see flatten ordering below)
+N_VIEW_W = 21
+N_QFC_W = 4
+N_RAY_W = 13
 
-# ordered weight names per transformer block (a or b slot of a pair)
-def _pair_slot_names(slot: str):
+
+def _block_paths(slot: str):
+    """Ordered weight paths for one transformer block, matching the kernels'
+    consumption order. Slot 'a' additionally owns the q_fc MLP (applied
+    between its view and ray transformers on even blocks)."""
     vt = f"view_trans_{slot}"
     rt = f"ray_trans_{slot}"
-    names = [
+    paths = [
         (vt, "attn_norm", "scale"), (vt, "attn_norm", "bias"),
         (vt, "attn", "q_fc", "kernel"),
         (vt, "attn", "k_fc", "kernel"),
@@ -63,6 +74,13 @@ def _pair_slot_names(slot: str):
         (vt, "ff_norm", "scale"), (vt, "ff_norm", "bias"),
         (vt, "ff", "fc1", "kernel"), (vt, "ff", "fc1", "bias"),
         (vt, "ff", "fc2", "kernel"), (vt, "ff", "fc2", "bias"),
+    ]
+    if slot == "a":
+        paths += [
+            ("q_fc_0", "kernel"), ("q_fc_0", "bias"),
+            ("q_fc_1", "kernel"), ("q_fc_1", "bias"),
+        ]
+    paths += [
         (rt, "attn_norm", "scale"), (rt, "attn_norm", "bias"),
         (rt, "attn", "q_fc", "kernel"),
         (rt, "attn", "k_fc", "kernel"),
@@ -72,52 +90,37 @@ def _pair_slot_names(slot: str):
         (rt, "ff", "fc1", "kernel"), (rt, "ff", "fc1", "bias"),
         (rt, "ff", "fc2", "kernel"), (rt, "ff", "fc2", "bias"),
     ]
-    return names
+    return paths
 
 
-def flatten_gnt_params(gnt_params) -> List[jnp.ndarray]:
-    """Flax GNT params (scanned-pair layout) -> flat kernel weight list.
+PAIR_PATHS = _block_paths("a") + _block_paths("b")
+N_A = len(_block_paths("a"))
+assert N_A == N_VIEW_W + N_QFC_W + N_RAY_W
 
-    Order: rgbfeat_fc_0 W/b, rgbfeat_fc_1 W/b, then per torch-block i
-    (0..7): view+ray transformer weights (+ q_fc W/b pairs after even
-    blocks' view transformer), then final norm scale/bias, rgb_fc W/b.
+
+def flatten_gnt_params(gnt_params):
+    """Flax GNT params -> (head_weights list, pair-stacked weights list).
+
+    Head/tail weights are single arrays; pair weights are one [n_pairs, ...]
+    array per `PAIR_PATHS` entry, taken directly from the flax nn.scan
+    layout. All bf16 (the kernels compute in bf16; layernorm stats in f32).
     """
     p = gnt_params["params"]
-    out = [
+    head = [
         p["rgbfeat_fc_0"]["kernel"], p["rgbfeat_fc_0"]["bias"],
         p["rgbfeat_fc_1"]["kernel"], p["rgbfeat_fc_1"]["bias"],
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["rgb_fc"]["kernel"], p["rgb_fc"]["bias"],
     ]
     bp = p["block_pairs"]
-
-    def get(tree, path, pair_idx):
-        cur = tree
+    pair = []
+    for path in PAIR_PATHS:
+        cur = bp
         for k in path:
             cur = cur[k]
-        return cur[pair_idx]
-
-    for pair in range(DEPTH // 2):
-        for slot in ("a", "b"):
-            names = _pair_slot_names(slot)
-            emitted_qfc = False
-            for path in names:
-                out.append(get(bp, path, pair))
-                if (
-                    slot == "a"
-                    and not emitted_qfc
-                    and path == ("view_trans_a", "ff", "fc2", "bias")
-                ):
-                    out.append(get(bp, ("q_fc_0", "kernel"), pair))
-                    out.append(get(bp, ("q_fc_0", "bias"), pair))
-                    out.append(get(bp, ("q_fc_1", "kernel"), pair))
-                    out.append(get(bp, ("q_fc_1", "bias"), pair))
-                    emitted_qfc = True
-    out.append(p["norm"]["scale"])
-    out.append(p["norm"]["bias"])
-    out.append(p["rgb_fc"]["kernel"])
-    out.append(p["rgb_fc"]["bias"])
-    # bf16 weights: halves the (double-buffered) VMEM weight footprint; the
-    # kernel computes in bf16 anyway and layernorm stats stay f32
-    return [jnp.asarray(w).astype(jnp.bfloat16) for w in out]
+        pair.append(cur)
+    to16 = lambda ws: [jnp.asarray(w).astype(jnp.bfloat16) for w in ws]
+    return to16(head), to16(pair)
 
 
 def _layernorm(x, scale, bias, eps):
@@ -125,7 +128,9 @@ def _layernorm(x, scale, bias, eps):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     out = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (out * scale + bias).astype(x.dtype)
+    return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
 
 
 def _dense(x, w, b=None):
@@ -135,40 +140,36 @@ def _dense(x, w, b=None):
     return out.astype(x.dtype)
 
 
-def _gnt_kernel(
+def _view_kernel(
     rb: int,
     s: int,
     v: int,
-    feat_in: int,
-    rf_ref,       # [v, rb, s, feat_in + 1]  (last channel = validity mask)
-    rd_ref,       # [v, rb, s, 4]
-    pos_code_ref, # [rb, s, 2*POSENC]
+    q_ref,     # [rb, s, NW] bf16
+    h_ref,     # [v, rb, s, NW] bf16
+    rd_ref,    # [v, rb, s, 4] bf16
+    bias_ref,  # [v, rb, s, 1] bf16 (0 or -1e30; bf16 spans the f32 range)
     *rest,
 ):
-    weight_refs = rest[:-2]
-    rgb_out_ref, w_out_ref = rest[-2:]
-    widx = [0]
-
-    def next_w():
-        w = weight_refs[widx[0]][:]
-        widx[0] += 1
-        return w
-
+    weight_refs = rest[:N_VIEW_W]
+    q_out_ref = rest[-1]
     dtype = jnp.bfloat16
     ns = rb * s
     nv = v * ns
 
-    packed = rf_ref[:].reshape(nv, feat_in + 1)  # views outer
-    rgb_feat = packed[:, :feat_in].astype(dtype)
-    mask_col = packed[:, feat_in:].astype(jnp.float32)  # [nv, 1]
-    ray_diff = rd_ref[:].reshape(nv, 4).astype(dtype)
-    pos_code = pos_code_ref[:].reshape(ns, 2 * POSENC).astype(dtype)
+    h = h_ref[:].reshape(nv, NW)
+    ray_diff = rd_ref[:].reshape(nv, 4)
+    view_bias = bias_ref[:].reshape(nv, 1)
+    q = q_ref[:].reshape(ns, NW)
+
+    wi = iter([r[:] for r in weight_refs])
+
+    def w():
+        return next(wi)
 
     def vslice(x, i):
         return x[i * ns : (i + 1) * ns]
 
     def vtile(x):
-        # [ns, C] -> [nv, C]: per-view broadcast as a sublane concat
         return jnp.concatenate([x] * v, axis=0)
 
     def vmax(x):
@@ -177,110 +178,166 @@ def _gnt_kernel(
             out = jnp.maximum(out, vslice(x, i))
         return out
 
-    def vsum(x):
-        out = vslice(x, 0)
-        for i in range(1, v):
-            out = out + vslice(x, i)
-        return out
+    x = _layernorm(q, w(), w(), 1e-6)  # [ns, NW]
+    qp = _dense(x, w())
+    kp = _dense(h, w())            # [nv, NW]
+    vp = _dense(kp, w())           # [nv, NW]
+    w_p0, b_p0, w_p1, b_p1 = w(), w(), w(), w()
+    w_a0, b_a0, w_a1, b_a1 = w(), w(), w(), w()
+    pos = _dense(jax.nn.relu(_dense(ray_diff, w_p0, b_p0)), w_p1, b_p1)
+    lg = kp - vtile(qp) + pos
+    lg = _dense(jax.nn.relu(_dense(lg, w_a0, b_a0)), w_a1, b_a1)
+    # softmax pipeline in bf16 (exponent range equals f32; only the final
+    # numerator/denominator accumulate in f32) — halves the [nv, NW] VMEM
+    # live set, which is what bounds the ray-block size
+    lg = lg + view_bias  # [nv, NW] bf16
+    ex = jnp.exp(lg - vtile(vmax(lg)))
+    vpp = vp + pos  # [nv, NW] bf16
+    num = (vslice(ex, 0) * vslice(vpp, 0)).astype(jnp.float32)
+    den = vslice(ex, 0).astype(jnp.float32)
+    for i in range(1, v):
+        num = num + (vslice(ex, i) * vslice(vpp, i)).astype(jnp.float32)
+        den = den + vslice(ex, i).astype(jnp.float32)
+    agg = (num / den).astype(dtype)  # [ns, NW]
 
-    # all-invalid fallback: rows with zero valid views attend un-masked
-    all_invalid = vsum(mask_col) == 0.0  # [ns, 1]
-    view_bias = jnp.where(
-        (mask_col == 0.0) & (~vtile(all_invalid)), NEG, 0.0
-    )  # [nv, 1] f32
+    agg = _dense(agg, w(), w())
+    x = agg + q
+    y = _layernorm(x, w(), w(), 1e-6)
+    y = _dense(jax.nn.relu(_dense(y, w(), w())), w(), w())
+    q_out_ref[:] = (y + x).reshape(rb, s, NW)
 
-    # rgbfeat_fc
-    h = _dense(rgb_feat, next_w(), next_w())
-    h = _dense(jax.nn.relu(h), next_w(), next_w())  # [nv, NW]
-    q = vmax(h)  # maxpool over views: [ns, NW]
 
-    weights_out = None
-    for blk in range(DEPTH):
-        # ---- view transformer -------------------------------------------
-        # All views processed in ONE set of [nv, NW] matmuls (10x larger
-        # MXU ops than a per-view loop); masked view softmax is unrolled
-        # static slice arithmetic over the views-outer sublane layout.
-        an_s, an_b = next_w(), next_w()
-        x = _layernorm(q, an_s, an_b, 1e-6)  # [ns, NW]
-        qp = _dense(x, next_w())
-        kp = _dense(h, next_w())           # [nv, NW]
-        vp = _dense(kp, next_w())          # [nv, NW]
-        w_p0, b_p0 = next_w(), next_w()
-        w_p1, b_p1 = next_w(), next_w()
-        w_a0, b_a0 = next_w(), next_w()
-        w_a1, b_a1 = next_w(), next_w()
-        pos = _dense(jax.nn.relu(_dense(ray_diff, w_p0, b_p0)), w_p1, b_p1)
-        lg = kp - vtile(qp) + pos
-        lg = _dense(jax.nn.relu(_dense(lg, w_a0, b_a0)), w_a1, b_a1)
-        lg = lg.astype(jnp.float32) + view_bias  # [nv, NW] f32
-        ex = jnp.exp(lg - vtile(vmax(lg)))
-        agg = ex * (vp + pos).astype(jnp.float32)
-        agg = (vsum(agg) / vsum(ex)).astype(dtype)  # [ns, NW]
+def _ray_kernel(
+    rb: int,
+    s: int,
+    q_ref,  # [rb, s, NW] bf16
+    *rest,
+):
+    weight_refs = rest[:N_RAY_W]
+    q_out_ref, w_out_ref = rest[-2:]
+    dtype = jnp.bfloat16
+    ns = rb * s
+    q = q_ref[:].reshape(ns, NW)
 
-        agg = _dense(agg, next_w(), next_w())
-        x = agg + q
-        fn_s, fn_b = next_w(), next_w()
-        y = _layernorm(x, fn_s, fn_b, 1e-6)
-        y = _dense(jax.nn.relu(_dense(y, next_w(), next_w())), next_w(), next_w())
-        q = y + x
+    wi = iter([r[:] for r in weight_refs])
 
-        # ---- positional q_fc on even blocks -----------------------------
-        if blk % 2 == 0:
-            qcat = jnp.concatenate([q, pos_code], axis=-1)
-            q = _dense(qcat, next_w(), next_w())
-            q = _dense(jax.nn.relu(q), next_w(), next_w())
+    def w():
+        return next(wi)
 
-        # ---- ray transformer (per-head, single batch dim) ---------------
-        an_s, an_b = next_w(), next_w()
-        xr = _layernorm(q, an_s, an_b, 1e-6)
-        hd = NW // HEADS
-        qf = _dense(xr, next_w())
-        kf = _dense(xr, next_w())
-        vf = _dense(xr, next_w())
+    xr = _layernorm(q, w(), w(), 1e-6)
+    hd = NW // HEADS
+    qf = _dense(xr, w())
+    kf = _dense(xr, w())
+    vf = _dense(xr, w())
 
-        head_outs = []
-        w_acc = None
-        for hh in range(HEADS):
-            sl = slice(hh * hd, (hh + 1) * hd)
-            q3 = qf[:, sl].reshape(rb, s, hd)
-            k3 = kf[:, sl].reshape(rb, s, hd)
-            v3 = vf[:, sl].reshape(rb, s, hd)
-            lgh = jax.lax.dot_general(
-                q3, k3,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) / np.sqrt(hd)  # [rb, s, s]
-            lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
-            exh = jnp.exp(lgh)
-            attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
-            outh = jax.lax.dot_general(
-                attn.astype(dtype), v3,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(dtype)  # [rb, s, hd]
-            head_outs.append(outh.reshape(ns, hd))
-            fr = attn[:, 0:1, :]  # [rb, 1, s] first-query row
-            w_acc = fr if w_acc is None else w_acc + fr
-        out = jnp.concatenate(head_outs, axis=-1)  # [ns, NW]
-        out = _dense(out, next_w(), next_w())
-        xq = q + out
-        fn_s, fn_b = next_w(), next_w()
-        y = _layernorm(xq, fn_s, fn_b, 1e-6)
-        y = _dense(jax.nn.relu(_dense(y, next_w(), next_w())), next_w(), next_w())
-        q = xq + y
+    def heads_to_batch(t):
+        # [ns, NW] -> [HEADS*rb, s, hd]: head lanes -> batch dim, so ALL
+        # heads run in ONE batched dot_general (4x fewer MXU launches)
+        parts = [
+            t[:, hh * hd : (hh + 1) * hd].reshape(rb, s, hd)
+            for hh in range(HEADS)
+        ]
+        return jnp.concatenate(parts, axis=0)
 
-        weights_out = w_acc / HEADS  # [rb, 1, s]
+    q3 = heads_to_batch(qf)
+    k3 = heads_to_batch(kf)
+    v3 = heads_to_batch(vf)
+    lgh = jax.lax.dot_general(
+        q3, k3,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / np.sqrt(hd)  # [HEADS*rb, s, s]
+    lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
+    exh = jnp.exp(lgh.astype(dtype))
+    attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
+    outh = jax.lax.dot_general(
+        attn, v3,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)  # [HEADS*rb, s, hd]
+    out = jnp.concatenate(
+        [outh[hh * rb : (hh + 1) * rb].reshape(ns, hd) for hh in range(HEADS)],
+        axis=-1,
+    )  # [ns, NW]
+    w_acc = attn[0 * rb : 1 * rb, 0:1, :].astype(jnp.float32)
+    for hh in range(1, HEADS):
+        w_acc = w_acc + attn[hh * rb : (hh + 1) * rb, 0:1, :].astype(
+            jnp.float32
+        )
+    out = _dense(out, w(), w())
+    xq = q + out
+    y = _layernorm(xq, w(), w(), 1e-6)
+    y = _dense(jax.nn.relu(_dense(y, w(), w())), w(), w())
+    q_out_ref[:] = (xq + y).reshape(rb, s, NW)
+    w_out_ref[0] = (w_acc / HEADS).astype(jnp.float32)
 
-    hq = _layernorm(q, next_w(), next_w(), 1e-6)
-    pooled = jnp.mean(hq.reshape(rb, s, NW).astype(jnp.float32), axis=1)
-    rgb = _dense(pooled.astype(dtype), next_w(), next_w())  # [rb, 3]
 
-    rgb_out_ref[0] = rgb.astype(jnp.float32)
-    w_out_ref[0] = weights_out.astype(jnp.float32)
+def _vmem(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+def _run_view(q, h, rd, bias, weights, rb, interpret):
+    v, r, s, _ = h.shape
+    grid = (r // rb,)
+    in_specs = [
+        pl.BlockSpec((rb, s, NW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (v, rb, s, NW), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (v, rb, s, 4), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (v, rb, s, 1), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ] + _vmem(len(weights))
+    return pl.pallas_call(
+        functools.partial(_view_kernel, rb, s, v),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (rb, s, NW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, s, NW), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, h, rd, bias, *weights)
+
+
+def _run_ray(q, weights, rb, interpret):
+    r, s, _ = q.shape
+    grid = (r // rb,)
+    in_specs = [
+        pl.BlockSpec((rb, s, NW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ] + _vmem(len(weights))
+    return pl.pallas_call(
+        functools.partial(_ray_kernel, rb, s),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (rb, s, NW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, rb, 1, s), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, s, NW), jnp.bfloat16),
+            jax.ShapeDtypeStruct((grid[0], rb, 1, s), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, *weights)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_block", "interpret", "views_outer")
+    jax.jit,
+    static_argnames=("ray_block", "ray_block_ray", "interpret", "views_outer"),
 )
 def gnt_fused_apply(
     gnt_params,
@@ -290,6 +347,7 @@ def gnt_fused_apply(
     pts_code,
     view_code,
     ray_block: int = 8,
+    ray_block_ray: int = 32,
     interpret: bool = False,
     views_outer: bool = False,
 ):
@@ -298,7 +356,7 @@ def gnt_fused_apply(
     Args:
       gnt_params: the flax GNT param tree ({'params': ...}).
       rgb_feat: [R, S, V, 3+F]; ray_diff: [R, S, V, 4]; mask: [R, S, V, 1] —
-        or, with views_outer=True, [V, R, S, *] (the kernel's native layout;
+        or, with views_outer=True, [V, R, S, *] (the kernels' native layout;
         skips two full-tensor transposes when the sampler already produces
         views-outer).
       pts_code: [R, S, 63]; view_code: [R, 63] (sinusoidal encodings).
@@ -311,64 +369,57 @@ def gnt_fused_apply(
         r, s, v, feat_in = rgb_feat.shape
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
-    weights = flatten_gnt_params(gnt_params)
-    grid = (r // ray_block,)
+    # the ray kernel's VMEM footprint is tiny, so it runs a larger block
+    while r % ray_block_ray != 0:
+        ray_block_ray //= 2
+    head, pair_stacked = flatten_gnt_params(gnt_params)
 
-    # views-outer packing with the mask as the last channel (see module doc)
-    packed = jnp.concatenate(
-        [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)], axis=-1
-    )
     if not views_outer:
-        packed = jnp.transpose(packed, (2, 0, 1, 3))  # [V, R, S, F+1]
-        rd_t = jnp.transpose(ray_diff.astype(jnp.bfloat16), (2, 0, 1, 3))
-    else:
-        rd_t = ray_diff.astype(jnp.bfloat16)
+        rgb_feat = jnp.transpose(rgb_feat, (2, 0, 1, 3))  # [V, R, S, F]
+        ray_diff = jnp.transpose(ray_diff, (2, 0, 1, 3))
+        mask = jnp.transpose(mask, (2, 0, 1, 3))
+    rgb_feat = rgb_feat.astype(jnp.bfloat16)
+    rd_t = ray_diff.astype(jnp.bfloat16)
     pos_code = jnp.concatenate(
         [pts_code, jnp.broadcast_to(view_code[:, None, :], pts_code.shape)],
         axis=-1,
     ).astype(jnp.bfloat16)
 
-    in_specs = [
-        pl.BlockSpec(
-            (v, ray_block, s, feat_in + 1),
-            lambda i: (0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (v, ray_block, s, 4), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (ray_block, s, 2 * POSENC), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    # ---- XLA prologue: rgbfeat_fc + maxpool init + masked-softmax bias ----
+    h = _dense(rgb_feat, head[0], head[1])
+    h = _dense(jax.nn.relu(h), head[2], head[3])  # [V, R, S, NW] bf16
+    q0 = jnp.max(h, axis=0)  # [R, S, NW]
+    maskf = mask.astype(jnp.float32)
+    all_invalid = jnp.sum(maskf, axis=0, keepdims=True) == 0.0
+    view_bias = jnp.where(
+        (maskf == 0.0) & (~all_invalid), NEG, 0.0
+    ).astype(jnp.bfloat16)  # [V, R, S, 1]
 
-    rgb, w = pl.pallas_call(
-        functools.partial(_gnt_kernel, ray_block, s, v, feat_in),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(
-            # 3D blocks whose last two dims equal the array dims (the Pallas
-            # divisibility rule) — the kernel writes slot [0]
-            pl.BlockSpec(
-                (1, ray_block, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, ray_block, 1, s),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((grid[0], ray_block, 3), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], ray_block, 1, s), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(packed, rd_t, pos_code, *weights)
+    # ---- scanned pair body: view -> q_fc (XLA) -> ray -> view -> ray -----
+    # (each Pallas kernel compiles ONCE; weights arrive as scan slices)
+    def step(q, pw):
+        a, b = pw[:N_A], pw[N_A:]
+        q = _run_view(q, h, rd_t, view_bias, a[:N_VIEW_W], ray_block, interpret)
+        # positional q_fc on the even block (XLA: one small matmul pair)
+        qcat = jnp.concatenate([q, pos_code], axis=-1)
+        w0, b0, w1, b1 = a[N_VIEW_W : N_VIEW_W + N_QFC_W]
+        q = _dense(jax.nn.relu(_dense(qcat, w0, b0)), w1, b1)
+        q, _w = _run_ray(
+            q, a[N_VIEW_W + N_QFC_W :], ray_block_ray, interpret
+        )
+        q = _run_view(q, h, rd_t, view_bias, b[:N_VIEW_W], ray_block, interpret)
+        q, w_out = _run_ray(q, b[N_VIEW_W:], ray_block_ray, interpret)
+        return q, w_out
+
+    q, w_hist = jax.lax.scan(step, q0, tuple(pair_stacked))
+    w = w_hist[-1]  # last pair's ray-attention first-query row
+
+    # ---- XLA epilogue: final norm + mean over samples + rgb head ---------
+    hq = _layernorm(q.reshape(r * s, NW), head[4], head[5], 1e-6)
+    pooled = jnp.mean(hq.reshape(r, s, NW).astype(jnp.float32), axis=1)
+    rgb = _dense(pooled.astype(jnp.bfloat16), head[6], head[7])
+
     return {
-        "rgb": rgb.reshape(r, 3),
+        "rgb": rgb.astype(jnp.float32),
         "weights": w.reshape(r, s),
     }

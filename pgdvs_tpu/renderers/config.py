@@ -57,6 +57,10 @@ class RenderConfig:
     #                                plain XLA flax apply (also used whenever
     #                                view-std diagnostics are requested)
     pallas_ray_block: int = 8      # rays per fused-kernel grid step
+    pallas_kernel: str = "mono"    # 'mono': one 8-block kernel per grid step
+    #                                (fastest; compiles in minutes);
+    #                                'split': per-block view/ray kernels
+    #                                (compiles in seconds; ~1.4x slower)
     epipolar_mode: str = "quad"    # 'exact' | 'fused' | 'quad'
     #   exact: reference-exact sampling (separate full-res rgb + quarter-res
     #          feature bilinear lookups; 8 gather rows per sample/view)

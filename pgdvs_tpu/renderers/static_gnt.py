@@ -137,7 +137,12 @@ def render_rays_gnt(
                 views_outer=views_outer,
             )
         if use_pallas:
-            from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
+            if cfg.pallas_kernel == "mono":
+                from pgdvs_tpu.kernels.gnt_fused_mono import (
+                    gnt_fused_apply_mono as gnt_fused_apply,
+                )
+            else:
+                from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
             from pgdvs_tpu.models.gnt.network import sinusoidal_embed
 
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)

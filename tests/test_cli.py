@@ -7,6 +7,8 @@ import pathlib
 
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess CLI e2e on a fake scene
+
 REPO = pathlib.Path(__file__).parent.parent
 
 

@@ -15,6 +15,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # CoTracker torch A/B + jit e2e
+
 import jax
 import jax.numpy as jnp
 

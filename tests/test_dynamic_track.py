@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # track-branch e2e renders
+
 from pgdvs_tpu.data import synthetic
 from pgdvs_tpu.models.tracking import LucasKanadeTracker
 from pgdvs_tpu.renderers.config import RenderConfig

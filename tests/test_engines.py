@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-virtual-device engine/trainer runs
+
 from pgdvs_tpu.data.synthetic import make_contract_data
 from pgdvs_tpu.renderers.config import RenderConfig
 from pgdvs_tpu.renderers.static_gnt import init_gnt_params, make_gnt_models

@@ -25,9 +25,12 @@ def setup():
 
 def test_flatten_params_count(setup):
     gnt, params, *_ = setup
-    flat = flatten_gnt_params(params)
-    # 4 stem + 8 blocks x 34 + 4 q_fc x 4 + 4 head
-    assert len(flat) == 4 + 8 * 34 + 4 * 4 + 4
+    head, pair = flatten_gnt_params(params)
+    from pgdvs_tpu.kernels.gnt_fused import PAIR_PATHS
+    assert len(head) == 8
+    assert len(pair) == len(PAIR_PATHS)
+    # pair arrays carry the n_pairs leading dim (flax nn.scan layout)
+    assert all(w.shape[0] == 4 for w in pair)
 
 
 def test_fused_matches_flax(setup):

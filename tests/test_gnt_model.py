@@ -236,6 +236,7 @@ def test_fused_epipolar_close_to_exact():
     assert agree > 0.97
 
 
+@pytest.mark.slow
 def test_quad_epipolar_matches_fused():
     """Quad-map (1 gather row/tap) sampling must equal fused-map (4 taps)
     sampling bit-for-bit inside the image interior, and the views-outer
@@ -287,6 +288,7 @@ def test_quad_epipolar_matches_fused():
         )
 
 
+@pytest.mark.slow
 def test_render_rays_quad_views_outer_matches_exact_flax():
     """Full render_rays_gnt: quad+views_outer+pallas(interpret) path must
     match the exact-sampling flax path."""
@@ -350,6 +352,7 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     assert rgb_err.max() < 0.3, rgb_err.max()
 
 
+@pytest.mark.slow
 def test_render_with_fine_importance_resampling():
     """n_fine_samples_per_ray > 0 runs the second GNT pass on merged coarse
     + fine z values (reference gnt/renderer.py:290-412)."""

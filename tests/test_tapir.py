@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # TAPIR structural e2e
+
 from pgdvs_tpu.models.tracking.tapir import (
     INITIAL_RES,
     Tapir,

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # LK tracker e2e
+
 from pgdvs_tpu.data import synthetic
 from pgdvs_tpu.models.tracking import LucasKanadeTracker
 
