@@ -42,7 +42,8 @@ def main():
         ray_tile=int(os.environ.get("BENCH_RAY_TILE", "4096")),
         epipolar_mode=os.environ.get("BENCH_EPI_MODE", "quad"),
         use_pallas_gnt=os.environ.get("BENCH_PALLAS_GNT", "1") == "1",
-        pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "8")),
+        pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
+        pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono"),
     )
 
     data = make_contract_data(h=h, w=w, n_spatial=n_src, n_frames=12, tgt_time=0.5)

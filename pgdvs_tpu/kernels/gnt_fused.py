@@ -169,35 +169,34 @@ def _view_kernel(
     def vslice(x, i):
         return x[i * ns : (i + 1) * ns]
 
-    def vtile(x):
-        return jnp.concatenate([x] * v, axis=0)
-
-    def vmax(x):
-        out = vslice(x, 0)
-        for i in range(1, v):
-            out = jnp.maximum(out, vslice(x, i))
-        return out
-
     x = _layernorm(q, w(), w(), 1e-6)  # [ns, NW]
     qp = _dense(x, w())
-    kp = _dense(h, w())            # [nv, NW]
-    vp = _dense(kp, w())           # [nv, NW]
+    w_k, w_v = w(), w()
     w_p0, b_p0, w_p1, b_p1 = w(), w(), w(), w()
     w_a0, b_a0, w_a1, b_a1 = w(), w(), w(), w()
-    pos = _dense(jax.nn.relu(_dense(ray_diff, w_p0, b_p0)), w_p1, b_p1)
-    lg = kp - vtile(qp) + pos
-    lg = _dense(jax.nn.relu(_dense(lg, w_a0, b_a0)), w_a1, b_a1)
-    # softmax pipeline in bf16 (exponent range equals f32; only the final
-    # numerator/denominator accumulate in f32) — halves the [nv, NW] VMEM
-    # live set, which is what bounds the ray-block size
-    lg = lg + view_bias  # [nv, NW] bf16
-    ex = jnp.exp(lg - vtile(vmax(lg)))
-    vpp = vp + pos  # [nv, NW] bf16
-    num = (vslice(ex, 0) * vslice(vpp, 0)).astype(jnp.float32)
-    den = vslice(ex, 0).astype(jnp.float32)
-    for i in range(1, v):
-        num = num + (vslice(ex, i) * vslice(vpp, i)).astype(jnp.float32)
-        den = den + vslice(ex, i).astype(jnp.float32)
+    # per-view online softmax (flash-style single pass): empirically ~2x
+    # faster on this backend than one [nv, NW] views-batched pipeline — the
+    # tall-tensor relayouts/broadcasts cost more than the smaller matmuls,
+    # and no [nv, NW] tensor is ever live (VMEM stays small)
+    mx = jnp.full((ns, NW), NEG, jnp.float32)
+    den = jnp.zeros((ns, NW), jnp.float32)
+    num = jnp.zeros((ns, NW), jnp.float32)
+    for i in range(v):
+        kp_i = _dense(vslice(h, i), w_k)
+        vp_i = _dense(kp_i, w_v)
+        pos_i = _dense(jax.nn.relu(_dense(vslice(ray_diff, i), w_p0, b_p0)),
+                       w_p1, b_p1)
+        lg_i = kp_i - qp + pos_i
+        lg_i = _dense(jax.nn.relu(_dense(lg_i, w_a0, b_a0)), w_a1, b_a1)
+        lg_i = lg_i.astype(jnp.float32) + vslice(view_bias, i).astype(
+            jnp.float32
+        )
+        m_new = jnp.maximum(mx, lg_i)
+        scale = jnp.exp(mx - m_new)
+        ex = jnp.exp(lg_i - m_new)
+        den = den * scale + ex
+        num = num * scale + ex * (vp_i + pos_i).astype(jnp.float32)
+        mx = m_new
     agg = (num / den).astype(dtype)  # [ns, NW]
 
     agg = _dense(agg, w(), w())

@@ -42,13 +42,20 @@ INITIAL_RES = (256, 256)
 
 
 def convert_grid_coords(coords, in_size, out_size):
-    """Corner-aligned grid-size conversion: (x + .5) * out/in - .5.
+    """Grid-size conversion: plain scale ``coords * out/in``.
+
+    NOTE: the reference's transforms.convert_grid_coordinates DOCSTRING
+    describes a half-pixel-aligned mapping ((x+.5)*scale-.5) but its CODE is
+    a plain multiply (``transforms.py:79-81``) — the released checkpoint was
+    trained with the plain scale, so match the code, not the docstring
+    (verified by the haiku-oracle A/B: the docstring variant shifts tracks
+    by stride/2 ≈ 3.5 px at the cost-volume stride).
 
     in_size/out_size are (w, h) or per-axis sequences matching coords[-1].
     """
     in_size = jnp.asarray(in_size, jnp.float32)
     out_size = jnp.asarray(out_size, jnp.float32)
-    return (coords + 0.5) * out_size / in_size - 0.5
+    return coords * out_size / in_size
 
 
 def interp_grid(grid, yx, mode: str = "nearest"):

@@ -56,7 +56,7 @@ class RenderConfig:
     #                                kernel (kernels/gnt_fused.py); False =
     #                                plain XLA flax apply (also used whenever
     #                                view-std diagnostics are requested)
-    pallas_ray_block: int = 8      # rays per fused-kernel grid step
+    pallas_ray_block: int = 4      # rays per fused-kernel grid step
     pallas_kernel: str = "mono"    # 'mono': one 8-block kernel per grid step
     #                                (fastest; compiles in minutes);
     #                                'split': per-block view/ray kernels
