@@ -68,6 +68,16 @@ def alexnet_features(params, x):
     return feats
 
 
+def _nearest_resize_torch(m, h, w):
+    """torch F.interpolate(mode='nearest') semantics: floor(i * in/out)
+    source indexing (jax.image.resize 'nearest' rounds instead — off by one
+    source row/col on downsampling, which shifts masked LPIPS ~1%)."""
+    in_h, in_w = m.shape[1], m.shape[2]
+    ys = jnp.floor(jnp.arange(h) * (in_h / h)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(w) * (in_w / w)).astype(jnp.int32)
+    return m[:, ys][:, :, xs]
+
+
 def lpips_distance(params, img0, img1, mask=None, spatial: bool = False):
     """LPIPS distance between two [H, W, 3] images in [0, 1].
 
@@ -90,7 +100,7 @@ def lpips_distance(params, img0, img1, mask=None, spatial: bool = False):
             total = total + jax.image.resize(dmap, (1, h, w, 1), "bilinear")
         elif mask is not None:
             h, w = dmap.shape[1:3]
-            m = jax.image.resize(mask[None], (1, h, w, 1), "nearest")
+            m = _nearest_resize_torch(mask[None], h, w)
             total = total + jnp.sum(dmap * m) / (jnp.sum(m) + 1e-8)
         else:
             total = total + jnp.mean(dmap)
