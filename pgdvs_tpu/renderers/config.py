@@ -69,7 +69,10 @@ class RenderConfig:
     #   quad:  fused map with the 2x2 bilinear stencil packed into channels
     #          (ONE gather row per sample/view; ~5x faster sampling measured
     #          at benchmark scale, scripts/gather_exp3.py; 4x map memory)
-    dyn_point_capacity: int = 0    # 0 = H*W (every pixel may be dynamic)
+    dyn_point_capacity: int = 0    # max dynamic points kept for the pcl
+    #                                rasterizer / KNN / track branch (0 =
+    #                                dense H*W buffer); compaction via
+    #                                fixed-size nonzero gather
     knn_tile: int = 2048
 
     def replace(self, **kw) -> "RenderConfig":

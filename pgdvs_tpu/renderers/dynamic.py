@@ -176,6 +176,27 @@ def render_dynamic(
         cfg=cfg,
     )
 
+    # capacity cap on the dynamic point list (dyn_point_capacity; 0 = keep
+    # the dense H*W buffer): compact the valid points into a fixed smaller
+    # buffer so the point rasterizer and downstream KNN passes scale with
+    # the configured budget instead of the full image. The mesh path keeps
+    # the dense buffer (its grid topology is positional).
+    cap = cfg.dyn_point_capacity
+    point_list = {
+        "points": pcl["points"], "colors": pcl["colors"], "valid": pcl["valid"]
+    }
+    if 0 < cap < h * w:
+        idx = jnp.nonzero(pcl["valid"] > 0, size=cap, fill_value=0)[0]
+        in_range = jnp.arange(cap) < jnp.sum(
+            (pcl["valid"] > 0).astype(jnp.int32)
+        )
+        valid_c = (pcl["valid"][idx] > 0) & in_range
+        point_list = {
+            "points": pcl["points"][idx],
+            "colors": pcl["colors"][idx],
+            "valid": valid_c.astype(pcl["valid"].dtype),
+        }
+
     # zero-dynamic-content guard: splatting a zero mask renders nothing, so
     # the all-static case needs no branch (reference needs an explicit one,
     # pgdvs_renderer_dyn.py:104,133-152)
@@ -197,11 +218,11 @@ def render_dynamic(
         rgb = splat_rgb * mask
     elif cfg.dyn_render_type == "pcl":
         rgb, mask = rasterize_points(
-            pcl["points"],
-            pcl["colors"],
+            point_list["points"],
+            point_list["colors"],
             data["flat_cam_tgt"],
             (h, w),
-            valid=pcl["valid"],
+            valid=point_list["valid"],
             radius=cfg.dyn_render_pcl_pt_radius,
         )
     elif cfg.dyn_render_type == "mesh":
@@ -231,12 +252,7 @@ def render_dynamic(
             data,
             cfg,
             tracker,
-            base_pcl={
-                "points": pcl["points"],
-                "colors": pcl["colors"],
-                "valid": pcl["valid"],
-                "nn_dist_thres": pcl["nn_dist_thres"],
-            },
+            base_pcl=dict(point_list, nn_dist_thres=pcl["nn_dist_thres"]),
         )
 
     if track_render is not None:

@@ -108,3 +108,40 @@ def test_full_compose_geo_mode(data):
     ).astype(np.float64)
     psnr = masked_psnr(np.clip(pred, 0, 1), tgt, np.repeat(covered, 3, -1))
     assert psnr > 20.0, f"composite PSNR {psnr}"
+
+
+def test_dyn_point_capacity_caps_point_list():
+    """dyn_point_capacity > 0 compacts the dynamic point list to a fixed
+    budget for the pcl rasterizer; the render must match the dense-buffer
+    render when the capacity covers all valid points."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pgdvs_tpu.data.synthetic import make_contract_data
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.dynamic import render_dynamic
+
+    data = make_contract_data(h=24, w=32, n_spatial=2, n_frames=6)
+    dev = {
+        k: jnp.asarray(v) for k, v in data.items()
+        if not isinstance(v, (dict, str))
+    }
+    key = jax.random.PRNGKey(0)
+
+    base = dict(n_coarse_samples_per_ray=8, ray_tile=128,
+                dyn_render_type="pcl")
+    dense = render_dynamic(dev, RenderConfig(**base), key)
+    capped = render_dynamic(
+        dev, RenderConfig(**base, dyn_point_capacity=24 * 32), key
+    )
+    np.testing.assert_allclose(
+        np.asarray(capped["rgb"]), np.asarray(dense["rgb"]), atol=1e-5
+    )
+
+    # a small budget still renders (fewer points, valid subset only)
+    small = render_dynamic(
+        dev, RenderConfig(**base, dyn_point_capacity=64), key
+    )
+    assert np.isfinite(np.asarray(small["rgb"])).all()
+    assert (np.asarray(small["mask"]) <= np.asarray(dense["mask"]) + 1e-6).all()
