@@ -162,7 +162,7 @@ def main(argv=None):
 
     infos = align_video(preds, mvs)
     for f, pred, info in zip(zoe_fs, preds, infos):
-        np.savez(save_dir / f"{f.stem}.npz", depth=pred, **info)
+        np.savez(save_dir / f"{f.stem}.npz", depth_pred=pred, **info)
     print(f"aligned {len(infos)} frames -> {save_dir}")
 
 
