@@ -58,6 +58,31 @@ def sharded_render_rays(
     cfg = cfg.replace(use_pallas_gnt=False)
 
     feats = feature_net.apply(params["feature_net"], src_rgbs)
+
+    # same sampling mode as the single-device render (fused/quad maps are
+    # per-view and replicated across the mesh)
+    fused_maps = None
+    map_scales = None
+    if cfg.epipolar_mode in ("fused", "quad", "quad_i8"):
+        from pgdvs_tpu.models.gnt.projector import (
+            build_fused_maps,
+            build_quad_maps,
+            quantize_quad_maps,
+        )
+
+        build = (
+            build_quad_maps
+            if cfg.epipolar_mode.startswith("quad")
+            else build_fused_maps
+        )
+        fused_maps = build(
+            src_rgbs,
+            feats,
+            src_invalid_masks if cfg.gnt_use_dyn_mask else None,
+            dtype=gnt.dtype if gnt.dtype != "float32" else None,
+        )
+        if cfg.epipolar_mode == "quad_i8":
+            fused_maps, map_scales = quantize_quad_maps(fused_maps)
     rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
         h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),
         stride=cfg.render_stride,
@@ -78,10 +103,10 @@ def sharded_render_rays(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), spec_rays, spec_rays, spec_rays),
+        in_specs=(P(), spec_rays, spec_rays, spec_rays, P()),
         out_specs=spec_rays,
     )
-    def shard_fn(params, o, d, r):
+    def shard_fn(params, o, d, r, maps):
         out = render_rays_gnt(
             gnt,
             params["gnt"],
@@ -94,10 +119,14 @@ def sharded_render_rays(
             feats,
             cfg,
             src_invalid_masks=src_invalid_masks,
+            src_fused_maps=maps,
         )
         return out
 
-    out = shard_fn(params, rays_o_p, rays_d_p, dr_p)
+    maps_arg = (
+        (fused_maps, map_scales) if map_scales is not None else fused_maps
+    )
+    out = shard_fn(params, rays_o_p, rays_d_p, dr_p, maps_arg)
 
     def unpad(x):
         return x[:n_rays].reshape((rh, rw) + x.shape[1:])

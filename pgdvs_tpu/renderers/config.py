@@ -69,6 +69,8 @@ class RenderConfig:
     #   quad:  fused map with the 2x2 bilinear stencil packed into channels
     #          (ONE gather row per sample/view; ~5x faster sampling measured
     #          at benchmark scale, scripts/gather_exp3.py; 4x map memory)
+    #   quad_i8: quad with per-channel int8 maps (2x smaller gather rows;
+    #          quantization sits below the network's bf16 precision)
     dyn_point_capacity: int = 0    # max dynamic points kept for the pcl
     #                                rasterizer / KNN / track branch (0 =
     #                                dense H*W buffer); compaction via

@@ -30,6 +30,7 @@ from pgdvs_tpu.models.gnt.projector import (
     build_quad_maps,
     epipolar_sample,
     epipolar_sample_fused,
+    quantize_quad_maps,
 )
 from pgdvs_tpu.renderers.config import RenderConfig
 
@@ -119,11 +120,17 @@ def render_rays_gnt(
 
     def gnt_pass(pts, z_vals):
         if src_fused_maps is not None:
+            maps, scales = (
+                src_fused_maps
+                if isinstance(src_fused_maps, tuple)
+                else (src_fused_maps, None)
+            )
             proj = epipolar_sample_fused(
-                pts, tgt_cam, src_cams, src_fused_maps,
+                pts, tgt_cam, src_cams, maps,
                 with_mask=cfg.gnt_use_dyn_mask,
-                quad=cfg.epipolar_mode == "quad",
+                quad=cfg.epipolar_mode.startswith("quad"),
                 views_outer=views_outer,
+                map_scales=scales,
             )
         else:
             proj = epipolar_sample(
@@ -253,14 +260,23 @@ def render_image_gnt(
     feats = feature_net.apply(params["feature_net"], src_rgbs)
 
     fused_maps = None
-    if cfg.epipolar_mode in ("fused", "quad"):
-        build = build_quad_maps if cfg.epipolar_mode == "quad" else build_fused_maps
+    if cfg.epipolar_mode in ("fused", "quad", "quad_i8"):
+        build = (
+            build_quad_maps
+            if cfg.epipolar_mode.startswith("quad")
+            else build_fused_maps
+        )
         fused_maps = build(
             src_rgbs,
             feats,
             src_invalid_masks if cfg.gnt_use_dyn_mask else None,
             dtype=gnt.dtype if gnt.dtype != "float32" else None,
         )
+        if cfg.epipolar_mode == "quad_i8":
+            # per-channel int8 maps: ~2x smaller gather rows; the network
+            # consumes the samples in bf16 anyway, so per-channel int8
+            # quantization is below its activation precision
+            fused_maps = quantize_quad_maps(fused_maps)
 
     rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
         h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),

@@ -400,3 +400,45 @@ def test_render_with_fine_importance_resampling():
         assert out["rgb"].shape == (h, w, 3)
         assert out["weights"].shape == (h, w, 16)  # coarse + fine
         assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_quad_i8_close_to_quad():
+    """int8 quad maps must match bf16 quad sampling within the network's
+    own bf16 activation precision."""
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.models.gnt.projector import (
+        build_quad_maps,
+        epipolar_sample_fused,
+        quantize_quad_maps,
+    )
+
+    rng = np.random.default_rng(13)
+    v, h, w, f = 3, 32, 40, 8
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 40.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.1 * i, -0.05 * i, 0.0]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(v, h // 4, w // 4, f)).astype(np.float32))
+    masks = jnp.asarray((rng.uniform(size=(v, h, w, 1)) > 0.8).astype(np.float32))
+    pts = jnp.asarray(rng.normal(size=(16, 8, 3)).astype(np.float32) * 0.5)
+    pts = pts.at[..., 2].set(jnp.abs(pts[..., 2]) + 2.0)
+
+    qmaps = build_quad_maps(rgbs, feats, masks)
+    q8, scales = quantize_quad_maps(qmaps)
+    a = epipolar_sample_fused(pts, cams[0], cams, qmaps, with_mask=True, quad=True)
+    b = epipolar_sample_fused(
+        pts, cams[0], cams, q8, with_mask=True, quad=True, map_scales=scales
+    )
+    rf_a, rf_b = np.asarray(a["rgb_feat"]), np.asarray(b["rgb_feat"])
+    scale_mag = np.abs(rf_a).max(axis=(0, 1, 2), keepdims=True) + 1e-6
+    assert (np.abs(rf_a - rf_b) / scale_mag).max() < 0.03
+    # the 0/1 mask channel quantizes exactly
+    np.testing.assert_allclose(
+        np.asarray(a["mask"]), np.asarray(b["mask"]), atol=1e-6
+    )

@@ -18,12 +18,14 @@ from pgdvs_tpu.models.tracking.tapir import (
 from pgdvs_tpu.models.tracking.tapir_port import remap_haiku_params
 
 
-def test_convert_grid_coords_corner_alignment():
-    # center of first pixel maps to center of first pixel at 2x
+def test_convert_grid_coords_plain_scale():
+    # plain coords * out/in — matching the reference transforms.py CODE
+    # (its docstring claims half-pixel alignment, but the released
+    # checkpoint was trained with the plain scale; see tapir.py note)
     out = np.asarray(convert_grid_coords(jnp.asarray([0.0]), (4,), (8,)))
-    assert out[0] == pytest.approx(0.5)
+    assert out[0] == pytest.approx(0.0)
     out = np.asarray(convert_grid_coords(jnp.asarray([3.0]), (4,), (8,)))
-    assert out[0] == pytest.approx(6.5)
+    assert out[0] == pytest.approx(6.0)
 
 
 @pytest.fixture(scope="module")
