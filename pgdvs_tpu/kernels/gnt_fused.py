@@ -209,6 +209,7 @@ def _view_kernel(
 def _ray_kernel(
     rb: int,
     s: int,
+    blockdiag: bool,
     q_ref,  # [rb, s, NW] bf16
     *rest,
 ):
@@ -229,40 +230,105 @@ def _ray_kernel(
     kf = _dense(xr, w())
     vf = _dense(xr, w())
 
-    def heads_to_batch(t):
-        # [ns, NW] -> [HEADS*rb, s, hd]: head lanes -> batch dim, so ALL
-        # heads run in ONE batched dot_general (4x fewer MXU launches)
-        parts = [
-            t[:, hh * hd : (hh + 1) * hd].reshape(rb, s, hd)
-            for hh in range(HEADS)
-        ]
-        return jnp.concatenate(parts, axis=0)
+    if blockdiag:
+        # full-MXU-width formulation: per-head logits computed as ONE
+        # [s, NW] x [NW, HEADS*s] matmul per ray by masking K/V to each
+        # head's channel block and concatenating along the key axis —
+        # L[:, h*s + j] = q_h . k_h[j] since other heads' channels are
+        # zeroed. 4x redundant MACs but 64-deep contraction and 4x wider
+        # outputs instead of HEADS tiny [s,16] matmuls.
+        q3 = qf.reshape(rb, s, NW)
+        k3 = kf.reshape(rb, s, NW)
+        v3 = vf.reshape(rb, s, NW)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, NW), 2)
+        kt = jnp.swapaxes(k3, 1, 2)  # [rb, NW, s]
+        k_big = jnp.concatenate(
+            [
+                kt * (((lane >= hh * hd) & (lane < (hh + 1) * hd))
+                      .astype(dtype)).reshape(1, NW, 1)
+                for hh in range(HEADS)
+            ],
+            axis=2,
+        )  # [rb, NW, HEADS*s]
+        v_big = jnp.concatenate(
+            [
+                v3 * ((lane >= hh * hd) & (lane < (hh + 1) * hd)).astype(dtype)
+                for hh in range(HEADS)
+            ],
+            axis=1,
+        )  # [rb, HEADS*s, NW]
+        lg = jax.lax.dot_general(
+            q3, k_big,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(hd)  # [rb, s, HEADS*s]
+        # per-head softmax over each s-wide lane block
+        def hslice(x, hh):
+            return x[:, :, hh * s : (hh + 1) * s]
 
-    q3 = heads_to_batch(qf)
-    k3 = heads_to_batch(kf)
-    v3 = heads_to_batch(vf)
-    lgh = jax.lax.dot_general(
-        q3, k3,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) / np.sqrt(hd)  # [HEADS*rb, s, s]
-    lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
-    exh = jnp.exp(lgh.astype(dtype))
-    attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
-    outh = jax.lax.dot_general(
-        attn, v3,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)  # [HEADS*rb, s, hd]
-    out = jnp.concatenate(
-        [outh[hh * rb : (hh + 1) * rb].reshape(ns, hd) for hh in range(HEADS)],
-        axis=-1,
-    )  # [ns, NW]
-    w_acc = attn[0 * rb : 1 * rb, 0:1, :].astype(jnp.float32)
-    for hh in range(1, HEADS):
-        w_acc = w_acc + attn[hh * rb : (hh + 1) * rb, 0:1, :].astype(
-            jnp.float32
+        mx = [jnp.max(hslice(lg, hh), axis=-1, keepdims=True)
+              for hh in range(HEADS)]
+        ex = jnp.exp(
+            (lg - jnp.concatenate(
+                [jnp.broadcast_to(m, (rb, s, s)) for m in mx], axis=2
+            )).astype(dtype)
         )
+        den = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.sum(hslice(ex, hh), axis=-1, keepdims=True), (rb, s, s)
+                )
+                for hh in range(HEADS)
+            ],
+            axis=2,
+        )
+        attn = ex / den  # [rb, s, HEADS*s], rows of each block sum to 1
+        out = jax.lax.dot_general(
+            attn, v_big,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(ns, NW)  # head outputs land in head channels
+        w_acc = hslice(attn, 0)[:, 0:1, :].astype(jnp.float32)
+        for hh in range(1, HEADS):
+            w_acc = w_acc + hslice(attn, hh)[:, 0:1, :].astype(jnp.float32)
+    else:
+        def heads_to_batch(t):
+            # [ns, NW] -> [HEADS*rb, s, hd]: head lanes -> batch dim, so ALL
+            # heads run in ONE batched dot_general (4x fewer MXU launches)
+            parts = [
+                t[:, hh * hd : (hh + 1) * hd].reshape(rb, s, hd)
+                for hh in range(HEADS)
+            ]
+            return jnp.concatenate(parts, axis=0)
+
+        q3 = heads_to_batch(qf)
+        k3 = heads_to_batch(kf)
+        v3 = heads_to_batch(vf)
+        lgh = jax.lax.dot_general(
+            q3, k3,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(hd)  # [HEADS*rb, s, s]
+        lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
+        exh = jnp.exp(lgh.astype(dtype))
+        attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
+        outh = jax.lax.dot_general(
+            attn, v3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)  # [HEADS*rb, s, hd]
+        out = jnp.concatenate(
+            [
+                outh[hh * rb : (hh + 1) * rb].reshape(ns, hd)
+                for hh in range(HEADS)
+            ],
+            axis=-1,
+        )  # [ns, NW]
+        w_acc = attn[0 * rb : 1 * rb, 0:1, :].astype(jnp.float32)
+        for hh in range(1, HEADS):
+            w_acc = w_acc + attn[hh * rb : (hh + 1) * rb, 0:1, :].astype(
+                jnp.float32
+            )
     out = _dense(out, w(), w())
     xq = q + out
     y = _layernorm(xq, w(), w(), 1e-6)
@@ -305,14 +371,14 @@ def _run_view(q, h, rd, bias, weights, rb, interpret):
     )(q, h, rd, bias, *weights)
 
 
-def _run_ray(q, weights, rb, interpret):
+def _run_ray(q, weights, rb, interpret, blockdiag=False):
     r, s, _ = q.shape
     grid = (r // rb,)
     in_specs = [
         pl.BlockSpec((rb, s, NW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ] + _vmem(len(weights))
     return pl.pallas_call(
-        functools.partial(_ray_kernel, rb, s),
+        functools.partial(_ray_kernel, rb, s, blockdiag),
         grid=grid,
         in_specs=in_specs,
         out_specs=(

@@ -33,7 +33,7 @@ def view8(q, h, rd, bias, *vw):
 @jax.jit
 def ray8(q, *rw):
     def body(qc, _):
-        qo, w = gf._run_ray(qc, list(rw), RBR, False)
+        qo, w = gf._run_ray(qc, list(rw), RBR, False, blockdiag=os.environ.get('KEXP_BD','0')=='1')
         return qo, jnp.sum(w)
     out, _ = jax.lax.scan(body, q, jnp.arange(REPS))
     return out
@@ -49,4 +49,4 @@ def timeit(name, fn, *a):
                       "s_image_8blocks": round(dt*77,2)}), flush=True)
 
 timeit(f"view_rb{RB}", view8, q, h, rd, bias16, *vw)
-timeit(f"ray_rb{RBR}", ray8, q, *rw)
+timeit(f"ray_rb{RBR}_bd{os.environ.get('KEXP_BD','0')}", ray8, q, *rw)
