@@ -241,11 +241,12 @@ def _ray_kernel(
         k3 = kf.reshape(rb, s, NW)
         v3 = vf.reshape(rb, s, NW)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, NW), 2)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, NW, 1), 1)
         kt = jnp.swapaxes(k3, 1, 2)  # [rb, NW, s]
         k_big = jnp.concatenate(
             [
-                kt * (((lane >= hh * hd) & (lane < (hh + 1) * hd))
-                      .astype(dtype)).reshape(1, NW, 1)
+                kt
+                * ((sub >= hh * hd) & (sub < (hh + 1) * hd)).astype(dtype)
                 for hh in range(HEADS)
             ],
             axis=2,
