@@ -132,8 +132,7 @@ def _view_matrix(z, up, pos):
 def rotation_geodesic_dist(r_ref: np.ndarray, rs: np.ndarray) -> np.ndarray:
     """Angular distance between rotation matrices
     (``base.py:583-603`` batched_angular_dist_rot_matrix)."""
-    tr = np.trace(np.einsum("nij,ik->njk", rs.transpose(0, 2, 1), r_ref),
-                  axis1=1, axis2=2)
+    tr = np.trace(np.einsum("nji,jk->nik", rs, r_ref), axis1=1, axis2=2)
     return np.arccos(np.clip((tr - 1.0) / 2.0, -1.0 + 1e-6, 1.0 - 1e-6))
 
 

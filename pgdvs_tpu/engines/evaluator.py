@@ -74,12 +74,14 @@ def resize_gt_to_render(rgb_gt, eval_mask, render_hw):
             np.float64,
         )
     if eval_mask is not None:
+        from pgdvs_tpu.metrics.lpips_jax import _nearest_resize_torch
+
         m = jnp.asarray(eval_mask, jnp.float32)
         if m.ndim == 2:
             m = m[..., None]
-        m_out = np.asarray(
-            jax.image.resize(m, (rh, rw, m.shape[-1]), "nearest")
-        )
+        # torch F.interpolate 'nearest' floor semantics, matching the
+        # reference's GT/mask resize (jax.image.resize rounds instead).
+        m_out = np.asarray(_nearest_resize_torch(m[None], rh, rw)[0])
         eval_mask = (m_out > 0).astype(np.float64)
     return rgb_out, eval_mask
 
@@ -274,11 +276,22 @@ class Evaluator:
 
         if jax.process_count() > 1:
             # cross-process SUM reduction — the reference's
-            # torch.distributed.reduce(dst=0, SUM) (evaluator_pgdvs.py:183-186)
+            # torch.distributed.reduce(dst=0, SUM) (evaluator_pgdvs.py:183-186).
+            # The key schema must agree across processes or allgather sees
+            # mismatched shapes (a process whose shard is empty — items <
+            # process_count, or max_items striding — has keys=[]). Process 0
+            # always owns item 0 under the striding, so broadcast its key
+            # list and let empty shards contribute zeros.
             from jax.experimental import multihost_utils
 
-            vec = np.asarray([float(count)] + [sums[k] for k in keys],
-                             np.float64)
+            key_blob = json.dumps(keys).encode("utf-8")
+            buf = np.zeros(4096, np.uint8)
+            buf[: len(key_blob)] = np.frombuffer(key_blob, np.uint8)
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            keys = json.loads(bytes(buf[buf != 0]).decode("utf-8"))
+            vec = np.asarray(
+                [float(count)] + [sums.get(k, 0.0) for k in keys], np.float64
+            )
             gathered = np.asarray(multihost_utils.process_allgather(vec))
             total = gathered.sum(axis=0)
             count = int(total[0])

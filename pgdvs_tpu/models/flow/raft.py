@@ -213,14 +213,20 @@ def lookup_corr(pyr, coords, radius: int = CORR_RADIUS):
     h8, w8 = coords.shape[:2]
     n = h8 * w8
     rr = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(rr, rr, indexing="ij")
-    dx = dx.reshape(-1)
-    dy = dy.reshape(-1)
+    # Reference quirk (princeton-vl RAFT CorrBlock.__call__): the tap window
+    # is `delta = stack(meshgrid(dy, dx), -1)` whose channel 0 (= dy, varying
+    # along the SLOW axis) is fed to grid_sample's x coordinate. The released
+    # checkpoints' motion encoder (convc1) was trained against that transposed
+    # enumeration, so we must match it: x takes the slow-axis offset, y the
+    # fast-axis one. Same quirk as cotracker.py's corr taps.
+    off_slow, off_fast = jnp.meshgrid(rr, rr, indexing="ij")
+    off_slow = off_slow.reshape(-1)
+    off_fast = off_fast.reshape(-1)
     out = []
     for lvl, corr in enumerate(pyr):
         cl = coords.reshape(n, 2) / (2.0 ** lvl)
-        xx = cl[:, 0:1] + dx[None]
-        yy = cl[:, 1:2] + dy[None]
+        xx = cl[:, 0:1] + off_slow[None]
+        yy = cl[:, 1:2] + off_fast[None]
         samp = jax.vmap(
             lambda cmap, x, y: bilinear_sample(cmap[..., None], x, y,
                                                zero_pad=True)[..., 0]

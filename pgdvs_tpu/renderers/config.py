@@ -61,7 +61,10 @@ class RenderConfig:
     #                                (fastest; compiles in minutes);
     #                                'split': per-block view/ray kernels
     #                                (compiles in seconds; ~1.4x slower)
-    epipolar_mode: str = "quad"    # 'exact' | 'fused' | 'quad'
+    epipolar_mode: str = "exact"   # 'exact' | 'fused' | 'quad' | 'quad_i8'
+    #   Default is the reference-faithful sampler so evaluation numerics
+    #   match the reference by default; bench/perf configs opt into 'quad'
+    #   (bench.py sets it explicitly).
     #   exact: reference-exact sampling (separate full-res rgb + quarter-res
     #          feature bilinear lookups; 8 gather rows per sample/view)
     #   fused: rgb+feat(+mask) packed into one pre-upsampled per-view map

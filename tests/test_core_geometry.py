@@ -273,3 +273,26 @@ def test_sample_fine_merge_sorted():
     merged = np.asarray(sampling.sample_fine_z_vals(z, w, 8, inv_uniform=True))
     assert merged.shape == (3, 16)
     assert np.all(np.diff(merged, axis=1) >= 0)
+
+
+def test_rotation_geodesic_dist_general_axes():
+    """vs the reference formula trace(R2^T @ R1) (base.py:583-603), with
+    rotations about DIFFERENT axes and a non-identity reference — the
+    same-axis/identity case is invariant to the transpose bug this guards."""
+    from scipy.spatial.transform import Rotation as _R  # noqa
+
+    from pgdvs_tpu.core.geometry import rotation_geodesic_dist
+
+    rng = np.random.default_rng(11)
+    rs = _R.random(8, random_state=3).as_matrix()
+    r_ref = _R.random(1, random_state=4).as_matrix()[0]
+    got = rotation_geodesic_dist(r_ref, rs)
+    tiny = 1e-6
+    ref = np.arccos(
+        np.clip(
+            (np.trace(np.matmul(rs.transpose(0, 2, 1), r_ref[None]),
+                      axis1=1, axis2=2) - 1) / 2.0,
+            -1 + tiny, 1 - tiny,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10)

@@ -177,3 +177,47 @@ def test_raft_port_structure_and_forward():
     f12, f21 = wrapper(a, b)
     assert f12.shape == (35, 45, 2) and f21.shape == (35, 45, 2)
     assert np.isfinite(np.asarray(f12)).all()
+
+
+def test_lookup_corr_full_window_vs_torch_corrblock():
+    """Full-window tap enumeration vs the reference CorrBlock oracle.
+
+    princeton-vl RAFT builds ``delta = stack(meshgrid(dy, dx), -1)`` and feeds
+    channel 0 (dy — the SLOW window axis) to grid_sample's x coordinate; the
+    released checkpoints' convc1 expects that transposed enumeration. The
+    center-tap test above is transpose-invariant, so this oracle covers every
+    tap at fractional coords, on two pyramid levels.
+    """
+    torch = pytest.importorskip("torch")
+    from pgdvs_tpu.models.flow.raft import build_corr_pyramid, lookup_corr
+
+    rng = np.random.default_rng(7)
+    h8, w8, c = 8, 10, 16
+    r = 2
+    f1 = rng.normal(size=(h8, w8, c)).astype(np.float32)
+    f2 = rng.normal(size=(h8, w8, c)).astype(np.float32)
+    coords = (
+        rng.uniform(0, [w8 - 1, h8 - 1], size=(h8, w8, 2)).astype(np.float32)
+    )
+
+    pyr = build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=2)
+    got = np.asarray(lookup_corr(pyr, jnp.asarray(coords), radius=r))
+
+    # torch oracle: reference CorrBlock.__call__ + bilinear_sampler
+    n = h8 * w8
+    out_pyr = []
+    for lvl in range(2):
+        corr_t = torch.from_numpy(np.asarray(pyr[lvl]))[:, None]  # [N,1,h,w]
+        hh, ww = corr_t.shape[-2:]
+        rr = torch.linspace(-r, r, 2 * r + 1)
+        delta = torch.stack(torch.meshgrid(rr, rr, indexing="ij"), dim=-1)
+        centroid = torch.from_numpy(coords.reshape(n, 1, 1, 2)) / (2.0 ** lvl)
+        cl = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+        xg = 2 * cl[..., 0:1] / (ww - 1) - 1
+        yg = 2 * cl[..., 1:2] / (hh - 1) - 1
+        samp = torch.nn.functional.grid_sample(
+            corr_t, torch.cat([xg, yg], dim=-1), align_corners=True
+        )
+        out_pyr.append(samp.reshape(n, -1))
+    ref = torch.cat(out_pyr, dim=-1).numpy().reshape(h8, w8, -1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
