@@ -16,6 +16,8 @@ from pgdvs_tpu.renderers.static_gnt import make_gnt_models, init_gnt_params
 KIMPL = os.environ.get("KEXP_IMPL", "split")
 if KIMPL == "mono":
     from pgdvs_tpu.kernels.gnt_fused_mono import gnt_fused_apply_mono as gnt_fused_apply
+elif KIMPL == "mono2":
+    from pgdvs_tpu.kernels.gnt_fused_mono2 import gnt_fused_apply_mono2 as gnt_fused_apply
 else:
     from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
 from pgdvs_tpu.models.gnt.network import sinusoidal_embed

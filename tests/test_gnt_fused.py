@@ -66,3 +66,60 @@ def test_fused_all_invalid_rows_finite(setup):
     )
     assert np.isfinite(np.asarray(out["rgb"])).all()
     assert np.isfinite(np.asarray(out["weights"])).all()
+
+
+def test_mono2_matches_flax(setup):
+    """Restructured kernel (hoisted view side + folded ray attention)."""
+    from pgdvs_tpu.kernels.gnt_fused_mono2 import gnt_fused_apply_mono2
+
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    ref = gnt.apply(params, rgb_feat, ray_diff, mask, pts, ray_d)
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    out = gnt_fused_apply_mono2(
+        params, rgb_feat, ray_diff, mask,
+        sinusoidal_embed(pts), sinusoidal_embed(viewdirs),
+        ray_block=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=0.05, rtol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["weights"]), np.asarray(ref["weights"]), atol=0.02
+    )
+
+
+def test_mono2_matches_mono(setup):
+    """v2 must agree with v1 tightly (same math, folded weights)."""
+    from pgdvs_tpu.kernels.gnt_fused_mono import gnt_fused_apply_mono
+    from pgdvs_tpu.kernels.gnt_fused_mono2 import gnt_fused_apply_mono2
+
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    pc, vc = sinusoidal_embed(pts), sinusoidal_embed(viewdirs)
+    o1 = gnt_fused_apply_mono(
+        params, rgb_feat, ray_diff, mask, pc, vc, ray_block=8, interpret=True
+    )
+    o2 = gnt_fused_apply_mono2(
+        params, rgb_feat, ray_diff, mask, pc, vc, ray_block=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o2["rgb"]), np.asarray(o1["rgb"]), atol=0.03, rtol=0.03
+    )
+    np.testing.assert_allclose(
+        np.asarray(o2["weights"]), np.asarray(o1["weights"]), atol=0.01
+    )
+
+
+def test_mono2_all_invalid_rows_finite(setup):
+    from pgdvs_tpu.kernels.gnt_fused_mono2 import gnt_fused_apply_mono2
+
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    mask = mask.at[0].set(0.0)
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    out = gnt_fused_apply_mono2(
+        params, rgb_feat, ray_diff, mask,
+        sinusoidal_embed(pts), sinusoidal_embed(viewdirs),
+        ray_block=8, interpret=True,
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(np.asarray(out["weights"])).all()
