@@ -6,10 +6,15 @@ per-channel unit normalization, squared difference, learned 1x1 linear
 heads, masked spatial average with a nearest-resized mask) and the DyCheck
 variant (spatial map + masked mean).
 
-Weights are NOT bundled: `load_torch_weights` ingests the standard
-torchvision ``alexnet`` state dict + an LPIPS linear-head checkpoint when
-the user provides them (env ``PGDVS_CKPT_DIR`` or explicit path). Without
-weights the evaluator reports PSNR/SSIM only — LPIPS is additive, never
+The learned linear heads ARE bundled (``weights/lpips_lin_alex_v0.1.pth`` —
+the same 6 KB v0.1 heads the reference ships in-repo at
+``nsff_lpips/weights/v0.1/alex.pth``). The AlexNet backbone is the standard
+torchvision ``alexnet`` checkpoint; ``load_torch_weights`` finds it via (in
+order) an explicit path, ``$PGDVS_CKPT_DIR/alexnet.pth``, the torch hub
+cache (``~/.cache/torch/hub/checkpoints/alexnet-*.pth``), or an installed
+torchvision — the same provenance the reference relies on (its nsff_lpips
+instantiates pretrained torchvision nets at runtime). Without the backbone
+the evaluator reports PSNR/SSIM only — LPIPS is additive, never
 load-bearing for rendering.
 """
 
@@ -117,13 +122,42 @@ def load_torch_weights(
     Returns None when files are unavailable.
     """
     ckpt_dir = os.environ.get("PGDVS_CKPT_DIR", "")
-    alexnet_path = alexnet_path or os.path.join(ckpt_dir, "alexnet.pth")
-    lin_path = lin_path or os.path.join(ckpt_dir, "lpips_alex_v0.1.pth")
-    if not (os.path.isfile(alexnet_path) and os.path.isfile(lin_path)):
+    if lin_path is None:
+        for cand in (
+            os.path.join(ckpt_dir, "lpips_alex_v0.1.pth"),
+            os.path.join(os.path.dirname(__file__), "weights",
+                         "lpips_lin_alex_v0.1.pth"),  # bundled default
+        ):
+            if os.path.isfile(cand):
+                lin_path = cand
+                break
+    if alexnet_path is None:
+        import glob
+
+        cands = [os.path.join(ckpt_dir, "alexnet.pth")] + sorted(
+            glob.glob(
+                os.path.expanduser(
+                    "~/.cache/torch/hub/checkpoints/alexnet-*.pth"
+                )
+            )
+        )
+        for cand in cands:
+            if os.path.isfile(cand):
+                alexnet_path = cand
+                break
+    if lin_path is None or not os.path.isfile(lin_path):
         return None
     import torch
 
-    sd = torch.load(alexnet_path, map_location="cpu", weights_only=True)
+    if alexnet_path is None or not os.path.isfile(alexnet_path):
+        try:  # last resort: an installed torchvision provides the backbone
+            from torchvision.models import alexnet as _tv_alexnet
+
+            sd = _tv_alexnet(weights="DEFAULT").state_dict()
+        except Exception:  # noqa: BLE001
+            return None
+    else:
+        sd = torch.load(alexnet_path, map_location="cpu", weights_only=True)
     lin_sd = torch.load(lin_path, map_location="cpu", weights_only=True)
     params = {}
     torch_idx = [0, 3, 6, 8, 10]

@@ -6,7 +6,8 @@
 # The framework consumes the checkpoints via PGDVS_CKPT_DIR:
 #   gnt/model_720000.pth, tapnet/tapir_checkpoint_panning.npy,
 #   cotracker/cotracker_stride_4_wind_8.pth, raft/models/raft-things.pth,
-#   alexnet.pth + lpips_alex_v0.1.pth (LPIPS metric weights).
+#   alexnet.pth (LPIPS backbone; the learned LPIPS linear heads are bundled
+#   in-repo at pgdvs_tpu/metrics/weights/lpips_lin_alex_v0.1.pth).
 set -euo pipefail
 
 CKPT_ROOT=${1:?checkpoint root}
@@ -21,6 +22,8 @@ if [ "${MODE}" == "original" ]; then
         wget https://storage.googleapis.com/dm-tapnet/tapir_checkpoint_panning.npy -P "${CKPT_ROOT}/tapnet/"
     [ -f "${CKPT_ROOT}/cotracker/cotracker_stride_4_wind_8.pth" ] || \
         wget https://dl.fbaipublicfiles.com/cotracker/cotracker_stride_4_wind_8.pth -P "${CKPT_ROOT}/cotracker/"
+    [ -f "${CKPT_ROOT}/alexnet.pth" ] || \
+        wget https://download.pytorch.org/models/alexnet-owt-7be5be79.pth -O "${CKPT_ROOT}/alexnet.pth"
 else
     [ -f "${CKPT_ROOT}/pgdvs_ckpts.zip" ] || \
         wget https://github.com/apple/ml-pgdvs/releases/download/v0.1/pgdvs_ckpts.zip -P "${CKPT_ROOT}/"

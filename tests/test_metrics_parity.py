@@ -229,3 +229,32 @@ def test_dycheck_psnr_ssim_match_reference():
                                rtol=1e-5)
     np.testing.assert_allclose(float(dm.compute_ssim(a, b, m)), ref_ssim,
                                rtol=1e-4)
+
+
+def test_bundled_lin_heads_match_reference():
+    """The repo-bundled linear heads must be byte-identical to the
+    reference's nsff_lpips/weights/v0.1/alex.pth (trainer_pgdvs.py:130-137
+    loads exactly these for the NVIDIA protocol)."""
+    import pathlib
+
+    bundled = (
+        pathlib.Path(__file__).parent.parent
+        / "pgdvs_tpu" / "metrics" / "weights" / "lpips_lin_alex_v0.1.pth"
+    )
+    ref = pathlib.Path(REF) / "pgdvs/utils/nsff_lpips/weights/v0.1/alex.pth"
+    assert bundled.is_file()
+    if ref.is_file():
+        assert bundled.read_bytes() == ref.read_bytes()
+
+    # and the loader must pick them up with no env setup when a backbone is
+    # resolvable; with no backbone anywhere it degrades to None, not a crash
+    import torch
+
+    from pgdvs_tpu.metrics.lpips_jax import load_torch_weights
+
+    lin_sd = torch.load(bundled, map_location="cpu", weights_only=True)
+    assert {f"lin{k}.model.1.weight" for k in range(5)} == set(lin_sd)
+
+    params = load_torch_weights()
+    if params is not None:  # backbone found in this environment
+        assert all(f"lin{k}" in params for k in range(5))
