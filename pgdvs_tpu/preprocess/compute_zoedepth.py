@@ -11,11 +11,12 @@ eight ``me_{med,trim}_{scale,shift}_{indiv,share}`` pairs and the ``me_*``
 diagnostics the dataset's 'moe' best-of selection sorts on
 (``data/nvidia_eval.py:47-52,169-191``).
 
-The depth model itself is pluggable: the reference runs the external
-ZoeDepth N/K/NK torch hub models (third-party, not vendored); here
-``--pred-dir`` consumes precomputed predictions (npz/npy per frame, any
-``depth``/``depth_pred``/first-array key), or callers pass ``depth_fn`` to
-``compute_scene_zoe`` to run any in-process model.
+The depth model is native: ``--zoe-ckpt`` runs the flax DPT-BEiT-L +
+metric-bins ZoeDepth (``models/depth/dpt_beit.py``) from a released
+``ZoeD_M12_*.pt`` checkpoint (key-mapped by ``models/depth/zoe_port.py``).
+Alternatively ``--pred-dir`` consumes precomputed predictions (npz/npy per
+frame, any ``depth``/``depth_pred``/first-array key), or callers pass
+``depth_fn`` to ``compute_scene_zoe`` to run any in-process model.
 """
 
 from __future__ import annotations
@@ -106,6 +107,39 @@ def compute_scene_zoe(
     return len(files)
 
 
+def make_dpt_depth_fn(zoe_ckpt: str, max_depth: float = 10.0,
+                      infer_hw=(384, 512)):
+    """Build depth_fn running the native DPT-BEiT ZoeDepth from a released
+    ``ZoeD_M12_*.pt`` (compute_zoedepth.py:146-166 contract): resize to the
+    inference resolution, predict metric depth, resize back."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgdvs_tpu.models.depth.dpt_beit import ZoeDepthDPT
+    from pgdvs_tpu.models.depth.zoe_port import load_zoe_checkpoint
+
+    backbone_params, _ = load_zoe_checkpoint(zoe_ckpt)
+    model = ZoeDepthDPT(max_depth=max_depth)
+    ih, iw = infer_hw
+    init = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((ih, iw, 3), jnp.float32)
+    )
+    params = {"params": dict(init["params"], midas=jax.tree_util.tree_map(
+        jnp.asarray, backbone_params))}
+    apply = jax.jit(model.apply)
+
+    def depth_fn(img):
+        h, w = img.shape[:2]
+        x = jax.image.resize(jnp.asarray(img, jnp.float32), (ih, iw, 3),
+                             "bilinear")
+        d = apply(params, x)
+        return np.asarray(
+            jax.image.resize(d[..., None], (h, w, 1), "bilinear")[..., 0]
+        )
+
+    return depth_fn
+
+
 def main(argv=None):
     import argparse
 
@@ -113,13 +147,23 @@ def main(argv=None):
     p.add_argument("--rgb-dir", required=True)
     p.add_argument("--mvs-depth-dir", required=True)
     p.add_argument("--save-dir", required=True)
-    p.add_argument("--pred-dir", required=True,
+    p.add_argument("--pred-dir", default=None,
                    help="precomputed depth predictions (npz/npy per frame)")
+    p.add_argument("--zoe-ckpt", default=None,
+                   help="ZoeD_M12_*.pt checkpoint: run the native DPT-BEiT "
+                        "ZoeDepth instead of reading --pred-dir")
+    p.add_argument("--max-depth", type=float, default=10.0)
     p.add_argument("--zoe-type", default="n", choices=["n", "k", "nk"])
     args = p.parse_args(argv)
+    assert args.pred_dir or args.zoe_ckpt, "need --pred-dir or --zoe-ckpt"
+    depth_fn = (
+        make_dpt_depth_fn(args.zoe_ckpt, max_depth=args.max_depth)
+        if args.zoe_ckpt
+        else None
+    )
     n = compute_scene_zoe(
         args.rgb_dir, args.mvs_depth_dir, args.save_dir,
-        zoe_type=args.zoe_type, pred_dir=args.pred_dir,
+        zoe_type=args.zoe_type, pred_dir=args.pred_dir, depth_fn=depth_fn,
     )
     print(f"wrote {n} aligned depth npz -> {args.save_dir}")
 
