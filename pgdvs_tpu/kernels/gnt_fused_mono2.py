@@ -133,6 +133,7 @@ def _gnt_kernel2(
     s: int,
     v: int,
     feat_in: int,
+    ablate: str,
     rf_ref,       # [v, rb, s, feat_in + 1]  (last channel = validity mask)
     rd_ref,       # [v, rb, s, 4]
     pos_code_ref, # [rb, s, 2*POSENC]
@@ -195,24 +196,27 @@ def _gnt_kernel2(
         pos = _dense(jax.nn.relu(_dense(ray_diff, w_p0, b_p0)), w_p1, b_p1)
         w_a0, b_a0 = next_w(), next_w()
         w_a1, b_a1 = next_w(), next_w()
-        qtile = jnp.concatenate([qp] * v, axis=0)  # [nv, NW] sublane concat
-        lg = _dense(
-            jax.nn.relu(_dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
-        )
-        lg = lg.astype(jnp.float32) + view_bias  # [nv, NW]
-        val = (vp + pos).astype(jnp.float32)
+        if ablate != "no_view":
+            qtile = jnp.concatenate([qp] * v, axis=0)  # [nv, NW] sublanes
+            lg = _dense(
+                jax.nn.relu(_dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
+            )
+            lg = lg.astype(jnp.float32) + view_bias  # [nv, NW]
+            val = (vp + pos).astype(jnp.float32)
 
-        # masked softmax over views: VPU-only slice loop
-        mx = vslice(lg, 0)
-        for i in range(1, v):
-            mx = jnp.maximum(mx, vslice(lg, i))
-        den = jnp.zeros((ns, NW), jnp.float32)
-        agg = jnp.zeros((ns, NW), jnp.float32)
-        for i in range(v):
-            ex = jnp.exp(vslice(lg, i) - mx)
-            den = den + ex
-            agg = agg + ex * vslice(val, i)
-        agg = (agg / den).astype(dtype)  # [ns, NW]
+            # masked softmax over views: VPU-only slice loop
+            mx = vslice(lg, 0)
+            for i in range(1, v):
+                mx = jnp.maximum(mx, vslice(lg, i))
+            den = jnp.zeros((ns, NW), jnp.float32)
+            agg = jnp.zeros((ns, NW), jnp.float32)
+            for i in range(v):
+                ex = jnp.exp(vslice(lg, i) - mx)
+                den = den + ex
+                agg = agg + ex * vslice(val, i)
+            agg = (agg / den).astype(dtype)  # [ns, NW]
+        else:
+            agg = qp + vslice(vp, 0) + vslice(pos, 0)  # keep deps, no attn
 
         agg = _dense(agg, next_w(), next_w())
         x = agg + q
@@ -233,6 +237,12 @@ def _gnt_kernel2(
         mcat = next_w()                          # [NW, HEADS*NW]
         pcat = next_w()                          # [NW, HEADS*NW]
         bo = next_w()                            # [NW]
+        if ablate == "no_ray":
+            q = q + _dense(xr, mcat)[:, :NW] + _dense(xr, pcat)[:, :NW]
+            weights_out = jnp.zeros((rb, 1, s), jnp.float32) + q[0, 0]
+            for _ in range(6):
+                next_w()  # consume ff_norm + ff weights
+            continue
         z = _dense(xr, mcat)                     # [ns, HEADS*NW]
         pm = _dense(xr, pcat)                    # [ns, HEADS*NW]
         x3 = xr.reshape(rb, s, NW)
@@ -247,9 +257,12 @@ def _gnt_kernel2(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # [rb, s, s], 64-deep contraction
-            lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
-            exh = jnp.exp(lgh)
-            attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
+            if ablate == "no_softmax":
+                attn = lgh * (1.0 / s)
+            else:
+                lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
+                exh = jnp.exp(lgh)
+                attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
             p3 = pm[:, sl].reshape(rb, s, NW)
             outh = jax.lax.dot_general(
                 attn.astype(dtype), p3,
@@ -277,7 +290,8 @@ def _gnt_kernel2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_block", "interpret", "views_outer")
+    jax.jit,
+    static_argnames=("ray_block", "interpret", "views_outer", "ablate"),
 )
 def gnt_fused_apply_mono2(
     gnt_params,
@@ -289,6 +303,7 @@ def gnt_fused_apply_mono2(
     ray_block: int = 8,
     interpret: bool = False,
     views_outer: bool = False,
+    ablate: str = "",   # perf-bisection only: no_view | no_ray | no_softmax
 ):
     """Run the restructured fused GNT transformer (contract of
     ``gnt_fused_apply_mono``). Returns {rgb [R, 3], weights [R, S]} (f32)."""
@@ -330,7 +345,7 @@ def gnt_fused_apply_mono2(
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
 
     rgb, w = pl.pallas_call(
-        functools.partial(_gnt_kernel2, ray_block, s, v, feat_in),
+        functools.partial(_gnt_kernel2, ray_block, s, v, feat_in, ablate),
         grid=grid,
         in_specs=in_specs,
         out_specs=(

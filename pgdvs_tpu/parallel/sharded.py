@@ -53,9 +53,11 @@ def sharded_render_rays(
     feature_net, gnt = models
     h, w = image_hw
     n_dev = mesh.devices.size
-    # the fused Pallas kernel needs per-call sharding metadata under
-    # shard_map; use the plain XLA path inside mesh-sharded renders
-    cfg = cfg.replace(use_pallas_gnt=False)
+    # NOTE: the fused Pallas kernel runs fine inside shard_map — each shard
+    # invokes its own pallas_call on its ray slice with no cross-shard
+    # semantics (rays are embarrassingly parallel); the ray-axis shard size
+    # must stay divisible by pallas_ray_block, which the padding below
+    # guarantees (tile multiple of n_dev * ray_block).
 
     feats = feature_net.apply(params["feature_net"], src_rgbs)
 
@@ -93,40 +95,62 @@ def sharded_render_rays(
     else:
         dr = depth_range[:: cfg.render_stride, :: cfg.render_stride].reshape(-1, 2)
 
-    pad = -(-n_rays // n_dev) * n_dev - n_rays
+    # pad so each shard's ray count is a multiple of the Pallas ray block
+    quantum = n_dev * max(cfg.pallas_ray_block, 1)
+    pad = -(-n_rays // quantum) * quantum - n_rays
     rays_o_p = jnp.pad(rays_o, ((0, pad), (0, 0)), mode="edge")
     rays_d_p = jnp.pad(rays_d, ((0, pad), (0, 0)), mode="edge")
     dr_p = jnp.pad(dr, ((0, pad), (0, 0)), mode="edge")
 
     spec_rays = P(("dp", "rp"))  # shard ray axis over the whole mesh
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), spec_rays, spec_rays, spec_rays, P()),
-        out_specs=spec_rays,
-    )
-    def shard_fn(params, o, d, r, maps):
-        out = render_rays_gnt(
-            gnt,
-            params["gnt"],
-            o,
-            d,
-            r,
-            tgt_cam,
-            src_cams,
-            src_rgbs,
-            feats,
-            cfg,
-            src_invalid_masks=src_invalid_masks,
-            src_fused_maps=maps,
-        )
-        return out
-
+    # Everything non-ray is passed as an explicitly replicated OPERAND, not
+    # a closure capture: closed-over arrays become embedded constants in the
+    # sharded program, with pathological compile times on this backend at
+    # bench shapes (e.g. 10 views of 288x550x144 quad maps).
     maps_arg = (
         (fused_maps, map_scales) if map_scales is not None else fused_maps
     )
-    out = shard_fn(params, rays_o_p, rays_d_p, dr_p, maps_arg)
+    repl = {
+        "params": params["gnt"],
+        "tgt_cam": tgt_cam,
+        "src_cams": src_cams,
+        "src_rgbs": src_rgbs,
+        "feats": feats,
+        "maps": maps_arg,
+        "inv_masks": src_invalid_masks,
+    }
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(), repl),
+            spec_rays,
+            spec_rays,
+            spec_rays,
+        ),
+        out_specs=spec_rays,
+        check_vma=False,
+    )
+    def shard_fn(repl, o, d, r):
+        out = render_rays_gnt(
+            gnt,
+            repl["params"],
+            o,
+            d,
+            r,
+            repl["tgt_cam"],
+            repl["src_cams"],
+            repl["src_rgbs"],
+            repl["feats"],
+            cfg,
+            src_invalid_masks=repl["inv_masks"],
+            src_fused_maps=repl["maps"],
+        )
+        return out
+
+    out = shard_fn(repl, rays_o_p, rays_d_p, dr_p)
 
     def unpad(x):
         return x[:n_rays].reshape((rh, rw) + x.shape[1:])

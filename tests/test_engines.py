@@ -132,13 +132,18 @@ def test_sharded_render_matches_single_device(setup):
             dev["depth_range"],
             cfg,
         )
-    # plain path runs the fused Pallas kernel, sharded path the flax one:
-    # agreement is bounded by bf16 accumulation differences
+    # BOTH paths run the fused Pallas kernel (the sharded render no longer
+    # falls back to the flax transformer — each shard runs its own
+    # pallas_call). Residual differences: the kernel computes in bf16, and
+    # the f32 epipolar samples feeding it are produced by differently-shaped
+    # XLA programs (tiled vs sharded), so ulp-level input differences cross
+    # bf16 rounding boundaries (measured max ~0.02 rgb).
+    assert cfg.use_pallas_gnt
     np.testing.assert_allclose(
-        np.asarray(plain["rgb"]), np.asarray(sharded["rgb"]), atol=5e-2
+        np.asarray(plain["rgb"]), np.asarray(sharded["rgb"]), atol=3e-2
     )
     np.testing.assert_allclose(
-        np.asarray(plain["depth"]), np.asarray(sharded["depth"]), atol=1e-1
+        np.asarray(plain["depth"]), np.asarray(sharded["depth"]), atol=3e-2
     )
 
 
