@@ -34,12 +34,17 @@ def compute_scene_flows(
     intervals=(1,),
     flow_fn=None,
     iters: int = 32,
+    tiling: str = "none",
 ) -> int:
     """Compute fwd/bwd flows for all frame pairs at the given intervals.
 
     flow_fn: optional (img1, img2) -> (flow12, flow21) override (tests /
     alternative models); defaults to the RAFT port with the released
     checkpoint.
+    tiling: 'none' runs the model at frame resolution (RAFT's protocol);
+    'flowformer' runs the FlowFormer patch protocol (fixed 432x960 patches,
+    Gaussian-blended overlaps, adaptive upresize for small frames —
+    ``flowformer_tiling``) over whichever model flow_fn wraps.
 
     Returns the number of npz files written.
     """
@@ -58,6 +63,30 @@ def compute_scene_flows(
                 "raft/models/raft-things.pth"
             )
         flow_fn = RAFTFlow(params=params, iters=iters)
+
+    if tiling == "flowformer":
+        from pgdvs_tpu.preprocess.flowformer_tiling import (
+            FLOWFORMER_TRAIN_SIZE,
+            adaptive_flow,
+            tiled_flow,
+        )
+
+        base_fn = flow_fn
+
+        def flow_fn(img1, img2):  # noqa: F811 — tiled wrapper
+            def one_way(a, b):
+                def m(pa, pb):
+                    return base_fn(pa, pb)[0]
+
+                big = (
+                    img1.shape[0] >= FLOWFORMER_TRAIN_SIZE[0]
+                    and img1.shape[1] >= FLOWFORMER_TRAIN_SIZE[1]
+                )
+                return (
+                    tiled_flow(m, a, b) if big else adaptive_flow(m, a, b)
+                )
+
+            return one_way(img1, img2), one_way(img2, img1)
 
     from pgdvs_tpu.preprocess.flow_consistency import flow_roundtrip
 
@@ -95,9 +124,11 @@ def main(argv=None):
     p.add_argument("--save-dir", required=True)
     p.add_argument("--intervals", type=int, nargs="*", default=[1])
     p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--tiling", default="none", choices=["none", "flowformer"])
     args = p.parse_args(argv)
     n = compute_scene_flows(
-        args.rgb_dir, args.save_dir, intervals=args.intervals, iters=args.iters
+        args.rgb_dir, args.save_dir, intervals=args.intervals,
+        iters=args.iters, tiling=args.tiling,
     )
     print(f"wrote {n} flow npz files -> {args.save_dir}")
 
