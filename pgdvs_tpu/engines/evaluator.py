@@ -260,9 +260,24 @@ class Evaluator:
         torch.distributed.reduce SUM).
         """
         records = []
-        for i, data in enumerate(dataset):
-            if process_count > 1 and i % process_count != process_index:
-                continue
+        if hasattr(dataset, "__getitem__") and hasattr(dataset, "__len__"):
+            # overlap item assembly (zip/image/npz IO) with device compute —
+            # the reference's DataLoader(num_workers=N) (trainer_pgdvs.py:300)
+            from pgdvs_tpu.data.loader import PrefetchLoader
+
+            idxs = [
+                i for i in range(len(dataset))
+                if process_count <= 1 or i % process_count == process_index
+            ]
+            if max_items >= 0:
+                idxs = idxs[:max_items]
+            stream = zip(idxs, PrefetchLoader(dataset, indices=idxs))
+        else:
+            stream = (
+                (i, d) for i, d in enumerate(dataset)
+                if process_count <= 1 or i % process_count == process_index
+            )
+        for i, data in stream:
             if 0 <= max_items <= len(records):
                 break
             rec = self.eval_item(data, item_id=f"{i:06d}", seed=i)
