@@ -67,6 +67,12 @@ class Visualizer:
         import PIL.Image
 
         self.out_dir.mkdir(parents=True, exist_ok=True)
+        if hasattr(dataset, "__getitem__") and hasattr(dataset, "__len__"):
+            # prefetch trajectory frames while the chip renders — the
+            # reference's DataLoader(num_workers) (visualizer_pgdvs.py:53-57)
+            from pgdvs_tpu.data.loader import PrefetchLoader
+
+            dataset = PrefetchLoader(dataset)
         for i, data in enumerate(dataset):
             dev = {
                 k: jnp.asarray(v)

@@ -58,7 +58,10 @@ class RenderConfig:
     #                                view-std diagnostics are requested)
     pallas_ray_block: int = 4      # rays per fused-kernel grid step
     pallas_kernel: str = "mono"    # 'mono': one 8-block kernel per grid step
-    #                                (fastest; compiles in minutes);
+    #                                (fastest; compiles in ~20 min cold);
+    #                                'mono2': restructured mono (folded ray
+    #                                attention, hoisted view matmuls) — same
+    #                                runtime, compiles ~4x faster;
     #                                'split': per-block view/ray kernels
     #                                (compiles in seconds; ~1.4x slower)
     epipolar_mode: str = "exact"   # 'exact' | 'fused' | 'quad' | 'quad_i8'
