@@ -134,11 +134,15 @@ def _gnt_kernel2(
     v: int,
     feat_in: int,
     ablate: str,
+    fold_ray_diff: bool,
     rf_ref,       # [v, rb, s, feat_in + 1]  (last channel = validity mask)
-    rd_ref,       # [v, rb, s, 4]
+    rd_ref,       # [v, rb, s, 4] — or, with fold_ray_diff, pts [rb, s, 3]
     pos_code_ref, # [rb, s, 2*POSENC]
     *rest,
 ):
+    if fold_ray_diff:
+        centers_ref = rest[0]  # [v + 1, 3] camera centers (target first)
+        rest = rest[1:]
     weight_refs = rest[:-2]
     rgb_out_ref, w_out_ref = rest[-2:]
     widx = [0]
@@ -155,7 +159,33 @@ def _gnt_kernel2(
     packed = rf_ref[:].reshape(nv, feat_in + 1)  # views outer
     rgb_feat = packed[:, :feat_in].astype(dtype)
     mask_col = packed[:, feat_in:].astype(jnp.float32)  # [nv, 1]
-    ray_diff = rd_ref[:].reshape(nv, 4).astype(dtype)
+    if fold_ray_diff:
+        # compute the 4-channel ray-difference code in-kernel from sample
+        # positions + camera centers (cameras.ray_diff_features) — skips
+        # the XLA-side [V, R, S, 4] materialization + HBM round trip
+        eps = 1e-6
+        xyz = rd_ref[:].reshape(ns, 3).astype(jnp.float32)
+        centers = centers_ref[:]
+
+        def unit(x):  # cameras.ray_diff_features eps semantics
+            n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+            return x / (n + eps)
+
+        to_tgt = unit(centers[0:1] - xyz)
+        rd_rows = []
+        for i in range(v):
+            to_src = unit(centers[i + 1 : i + 2] - xyz)
+            diff = to_tgt - to_src
+            dn = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True))
+            dot = jnp.sum(to_tgt * to_src, axis=-1, keepdims=True)
+            rd_rows.append(
+                jnp.concatenate(
+                    [diff / jnp.maximum(dn, eps), dot], axis=-1
+                )
+            )
+        ray_diff = jnp.concatenate(rd_rows, axis=0).astype(dtype)  # [nv, 4]
+    else:
+        ray_diff = rd_ref[:].reshape(nv, 4).astype(dtype)
     pos_code = pos_code_ref[:].reshape(ns, 2 * POSENC).astype(dtype)
 
     def vslice(x, i):
@@ -196,7 +226,7 @@ def _gnt_kernel2(
         pos = _dense(jax.nn.relu(_dense(ray_diff, w_p0, b_p0)), w_p1, b_p1)
         w_a0, b_a0 = next_w(), next_w()
         w_a1, b_a1 = next_w(), next_w()
-        if ablate != "no_view":
+        if ablate not in ("no_view", "min"):
             qtile = jnp.concatenate([qp] * v, axis=0)  # [nv, NW] sublanes
             lg = _dense(
                 jax.nn.relu(_dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
@@ -237,9 +267,11 @@ def _gnt_kernel2(
         mcat = next_w()                          # [NW, HEADS*NW]
         pcat = next_w()                          # [NW, HEADS*NW]
         bo = next_w()                            # [NW]
-        if ablate == "no_ray":
+        if ablate in ("no_ray", "min"):
             q = q + _dense(xr, mcat)[:, :NW] + _dense(xr, pcat)[:, :NW]
-            weights_out = jnp.zeros((rb, 1, s), jnp.float32) + q[0, 0]
+            weights_out = jnp.zeros((rb, 1, s), jnp.float32) + q[
+                0:1, 0:1
+            ].astype(jnp.float32)
             for _ in range(6):
                 next_w()  # consume ff_norm + ff weights
             continue
@@ -303,16 +335,26 @@ def gnt_fused_apply_mono2(
     ray_block: int = 8,
     interpret: bool = False,
     views_outer: bool = False,
-    ablate: str = "",   # perf-bisection only: no_view | no_ray | no_softmax
+    ablate: str = "",   # perf-bisection only: no_view | no_ray | no_softmax | min
+    pts=None,           # [R, S, 3] sample positions (fold_ray_diff path)
+    cam_centers=None,   # [V + 1, 3] camera centers, target first
 ):
     """Run the restructured fused GNT transformer (contract of
-    ``gnt_fused_apply_mono``). Returns {rgb [R, 3], weights [R, S]} (f32)."""
+    ``gnt_fused_apply_mono``). Returns {rgb [R, 3], weights [R, S]} (f32).
+
+    When ``pts`` + ``cam_centers`` are given (and ray_diff is None), the
+    ray-difference code is computed inside the kernel instead of being
+    streamed as a [V, R, S, 4] input.
+    """
     if views_outer:
         v, r, s, feat_in = rgb_feat.shape
     else:
         r, s, v, feat_in = rgb_feat.shape
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
+    fold_ray_diff = ray_diff is None
+    if fold_ray_diff:
+        assert pts is not None and cam_centers is not None
     weights = flatten_gnt_params_mono2(gnt_params)
     grid = (r // ray_block,)
 
@@ -321,9 +363,21 @@ def gnt_fused_apply_mono2(
     )
     if not views_outer:
         packed = jnp.transpose(packed, (2, 0, 1, 3))  # [V, R, S, F+1]
-        rd_t = jnp.transpose(ray_diff.astype(jnp.bfloat16), (2, 0, 1, 3))
+    if fold_ray_diff:
+        rd_t = pts.astype(jnp.float32)  # [R, S, 3]
+        rd_spec = pl.BlockSpec(
+            (ray_block, s, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
     else:
-        rd_t = ray_diff.astype(jnp.bfloat16)
+        rd_t = (
+            ray_diff.astype(jnp.bfloat16)
+            if views_outer
+            else jnp.transpose(ray_diff.astype(jnp.bfloat16), (2, 0, 1, 3))
+        )
+        rd_spec = pl.BlockSpec(
+            (v, ray_block, s, 4), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     pos_code = jnp.concatenate(
         [pts_code, jnp.broadcast_to(view_code[:, None, :], pts_code.shape)],
         axis=-1,
@@ -335,17 +389,22 @@ def gnt_fused_apply_mono2(
             lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (v, ray_block, s, 4), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        rd_spec,
         pl.BlockSpec(
             (ray_block, s, 2 * POSENC), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    ]
+    extra = []
+    if fold_ray_diff:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        extra.append(jnp.asarray(cam_centers, jnp.float32))
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
 
     rgb, w = pl.pallas_call(
-        functools.partial(_gnt_kernel2, ray_block, s, v, feat_in, ablate),
+        functools.partial(
+            _gnt_kernel2, ray_block, s, v, feat_in, ablate, fold_ray_diff
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -366,7 +425,7 @@ def gnt_fused_apply_mono2(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(packed, rd_t, pos_code, *weights)
+    )(packed, rd_t, pos_code, *extra, *weights)
     return {
         "rgb": rgb.reshape(r, 3),
         "weights": w.reshape(r, s),

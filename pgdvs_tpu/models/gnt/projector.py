@@ -188,6 +188,7 @@ def epipolar_sample_fused(
     quad: bool = False,
     views_outer: bool = False,
     map_scales=None,
+    with_ray_diff: bool = True,
 ):
     """Fused-map epipolar sampling: ONE bilinear tap set per (sample, view).
 
@@ -218,9 +219,14 @@ def epipolar_sample_fused(
         inv_s = jnp.zeros(sampled.shape[:-1] + (1,), jnp.float32)
 
     tgt_c2w = cameras.flat_cam_c2w(tgt_cam)
-    diff = jax.vmap(
-        lambda cam: cameras.ray_diff_features(pts, tgt_c2w, cameras.flat_cam_c2w(cam))
-    )(src_cams)
+    if with_ray_diff:
+        diff = jax.vmap(
+            lambda cam: cameras.ray_diff_features(
+                pts, tgt_c2w, cameras.flat_cam_c2w(cam)
+            )
+        )(src_cams)
+    else:
+        diff = None  # computed in-kernel (pallas_fold_ray_diff)
 
     mask_inb = (inbound & in_front).astype(jnp.float32)[..., None]
     mask = mask_inb * (1.0 - inv_s)
@@ -232,7 +238,7 @@ def epipolar_sample_fused(
 
     return {
         "rgb_feat": to_out(rgb_feat),
-        "ray_diff": to_out(diff),
+        "ray_diff": None if diff is None else to_out(diff),
         "mask": to_out(mask),
         "mask_inbound": to_out(mask_inb),
         "mask_invalid": to_out(inv_s),

@@ -62,8 +62,14 @@ class RenderConfig:
     #                                'mono2': restructured mono (folded ray
     #                                attention, hoisted view matmuls) — same
     #                                runtime, compiles ~4x faster;
+    #                                'mono3': mono2 + cross-block width
+    #                                folding of the k/v/pos projections
+    #                                (3 wide matmuls replace 32 narrow ones);
     #                                'split': per-block view/ray kernels
     #                                (compiles in seconds; ~1.4x slower)
+    pallas_fold_ray_diff: bool = False  # mono2/mono3: compute the ray-diff
+    #                                code inside the kernel (skips the XLA
+    #                                [V, R, S, 4] materialization)
     epipolar_mode: str = "exact"   # 'exact' | 'fused' | 'quad' | 'quad_i8'
     #   Default is the reference-faithful sampler so evaluation numerics
     #   match the reference by default; bench/perf configs opt into 'quad'

@@ -118,6 +118,13 @@ def render_rays_gnt(
     # axis of the view dim in proj["mask_*"][..., 0] ([V,R,S] vs [R,S,V])
     view_axis = 0 if views_outer else -1
 
+    fold_ray_diff = (
+        use_pallas
+        and cfg.pallas_kernel in ("mono2", "mono3")
+        and cfg.pallas_fold_ray_diff
+        and src_fused_maps is not None
+    )
+
     def gnt_pass(pts, z_vals):
         if src_fused_maps is not None:
             maps, scales = (
@@ -131,6 +138,7 @@ def render_rays_gnt(
                 quad=cfg.epipolar_mode.startswith("quad"),
                 views_outer=views_outer,
                 map_scales=scales,
+                with_ray_diff=not fold_ray_diff,
             )
         else:
             proj = epipolar_sample(
@@ -152,11 +160,25 @@ def render_rays_gnt(
                 from pgdvs_tpu.kernels.gnt_fused_mono2 import (
                     gnt_fused_apply_mono2 as gnt_fused_apply,
                 )
+            elif cfg.pallas_kernel == "mono3":
+                from pgdvs_tpu.kernels.gnt_fused_mono3 import (
+                    gnt_fused_apply_mono3 as gnt_fused_apply,
+                )
             else:
                 from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
             from pgdvs_tpu.models.gnt.network import sinusoidal_embed
 
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            kern_kwargs = {}
+            if fold_ray_diff:
+                centers = jnp.concatenate(
+                    [
+                        cameras.flat_cam_c2w(tgt_cam)[None, :3, 3],
+                        jax.vmap(cameras.flat_cam_c2w)(src_cams)[:, :3, 3],
+                    ],
+                    axis=0,
+                )
+                kern_kwargs = {"pts": pts, "cam_centers": centers}
             out = gnt_fused_apply(
                 gnt_params,
                 proj["rgb_feat"],
@@ -168,6 +190,7 @@ def render_rays_gnt(
                 # Pallas TPU kernels only interpret on CPU (tests / virtual)
                 interpret=jax.default_backend() == "cpu",
                 views_outer=views_outer,
+                **kern_kwargs,
             )
             zeros_std = jnp.zeros(
                 rays_o.shape[:1] + (z_vals.shape[-1], gnt.depth + 1),

@@ -18,6 +18,8 @@ if KIMPL == "mono":
     from pgdvs_tpu.kernels.gnt_fused_mono import gnt_fused_apply_mono as gnt_fused_apply
 elif KIMPL == "mono2":
     from pgdvs_tpu.kernels.gnt_fused_mono2 import gnt_fused_apply_mono2 as gnt_fused_apply
+elif KIMPL == "mono3":
+    from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3 as gnt_fused_apply
 else:
     from pgdvs_tpu.kernels.gnt_fused import gnt_fused_apply
 from pgdvs_tpu.models.gnt.network import sinusoidal_embed

@@ -123,3 +123,86 @@ def test_mono2_all_invalid_rows_finite(setup):
     )
     assert np.isfinite(np.asarray(out["rgb"])).all()
     assert np.isfinite(np.asarray(out["weights"])).all()
+
+
+def test_mono2_fold_ray_diff_matches(setup):
+    """In-kernel ray-diff computation must match the precomputed input."""
+    from pgdvs_tpu.core.cameras import ray_diff_features
+    from pgdvs_tpu.kernels.gnt_fused_mono2 import gnt_fused_apply_mono2
+
+    gnt, params, rgb_feat, _rd_unused, mask, pts, ray_d = setup
+    rng = np.random.default_rng(3)
+    r, s, v, _ = rgb_feat.shape
+
+    # geometric ray_diff from actual cameras (not the random fixture one)
+    tgt_c2w = np.eye(4, dtype=np.float32)
+    tgt_c2w[:3, 3] = [0.1, -0.2, -2.0]
+    src_c2ws = np.stack([np.eye(4, dtype=np.float32)] * v)
+    src_c2ws[:, :3, 3] = rng.normal(0, 0.5, (v, 3)) + [0, 0, -2.0]
+    rd = np.stack(
+        [
+            np.asarray(
+                ray_diff_features(
+                    jnp.asarray(pts), jnp.asarray(tgt_c2w), jnp.asarray(c)
+                )
+            )
+            for c in src_c2ws
+        ],
+        axis=2,
+    )  # [R, S, V, 4]
+
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    pc, vc = sinusoidal_embed(pts), sinusoidal_embed(viewdirs)
+    ref = gnt_fused_apply_mono2(
+        params, rgb_feat, jnp.asarray(rd), mask, pc, vc,
+        ray_block=8, interpret=True,
+    )
+    centers = np.concatenate(
+        [tgt_c2w[None, :3, 3], src_c2ws[:, :3, 3]], axis=0
+    )
+    got = gnt_fused_apply_mono2(
+        params, rgb_feat, None, mask, pc, vc,
+        ray_block=8, interpret=True,
+        pts=jnp.asarray(pts), cam_centers=jnp.asarray(centers),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=0.02, rtol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["weights"]), np.asarray(ref["weights"]), atol=0.01
+    )
+
+
+def test_mono3_matches_flax(setup):
+    """v3 (cross-block width folding) vs the flax reference."""
+    from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
+
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    ref = gnt.apply(params, rgb_feat, ray_diff, mask, pts, ray_d)
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    out = gnt_fused_apply_mono3(
+        params, rgb_feat, ray_diff, mask,
+        sinusoidal_embed(pts), sinusoidal_embed(viewdirs),
+        ray_block=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=0.05, rtol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["weights"]), np.asarray(ref["weights"]), atol=0.02
+    )
+
+
+def test_mono3_all_invalid_rows_finite(setup):
+    from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
+
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    mask = mask.at[0].set(0.0)
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    out = gnt_fused_apply_mono3(
+        params, rgb_feat, ray_diff, mask,
+        sinusoidal_embed(pts), sinusoidal_embed(viewdirs),
+        ray_block=8, interpret=True,
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(np.asarray(out["weights"])).all()
