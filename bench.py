@@ -43,7 +43,8 @@ def main():
         epipolar_mode=os.environ.get("BENCH_EPI_MODE", "quad"),
         use_pallas_gnt=os.environ.get("BENCH_PALLAS_GNT", "1") == "1",
         pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
-        pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono"),
+        pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono3"),
+        pallas_fold_ray_diff=os.environ.get("BENCH_FOLD_RAY_DIFF", "1") == "1",
     )
 
     data = make_contract_data(h=h, w=w, n_spatial=n_src, n_frames=12, tgt_time=0.5)

@@ -26,7 +26,12 @@ def timeit(name, fn, *args, iters=2):
     print(json.dumps({"stage": name, "s": round((time.time()-t0)/iters, 3),
                       "compile_s": round(c, 1)}), flush=True)
 
-cfg = RenderConfig(n_coarse_samples_per_ray=S, ray_tile=TILE)
+cfg = RenderConfig(
+    n_coarse_samples_per_ray=S, ray_tile=TILE,
+    epipolar_mode=os.environ.get("PROF_EPI_MODE", "quad"),
+    pallas_kernel=os.environ.get("PROF_KERNEL", "mono3"),
+    pallas_fold_ray_diff=os.environ.get("PROF_FOLD", "1") == "1",
+)
 data = make_contract_data(h=H, w=W, n_spatial=V, n_frames=12)
 dev = {k: jnp.asarray(v) for k, v in data.items() if not isinstance(v, (dict, str))}
 models = make_gnt_models()
@@ -54,17 +59,29 @@ o3 = jnp.pad(rays_o, ((0, pad), (0, 0)), mode="edge").reshape(n_tiles, TILE, 3)
 d3 = jnp.pad(rays_d, ((0, pad), (0, 0)), mode="edge").reshape(n_tiles, TILE, 3)
 r3 = jnp.broadcast_to(dev["depth_range"], (n_tiles * TILE, 2)).reshape(n_tiles, TILE, 2)
 
-def quad_sample_image(qm, o, d, r):
+def quad_sample_image(qm, o, d, r, with_rd=True):
     def quad_tile(args):
         o, d, r = args
         pts, z = sampling.sample_along_rays(o, d, r, S, inv_uniform=True)
         pr = epipolar_sample_fused(pts, tgt_cam, dev["flat_cam_src_spatial"],
                                    qm, with_mask=False, quad=True,
-                                   views_outer=True)
-        return {k: jnp.sum(v.astype(jnp.float32)) for k, v in pr.items()}
+                                   views_outer=True, with_ray_diff=with_rd)
+        return {k: jnp.sum(v.astype(jnp.float32))
+                for k, v in pr.items() if v is not None}
     return jax.lax.map(quad_tile, (o, d, r))
 
+def sample_only_image(o, d, r):
+    def tile(args):
+        o, d, r = args
+        pts, z = sampling.sample_along_rays(o, d, r, S, inv_uniform=True)
+        return jnp.sum(pts) + jnp.sum(z)
+    return jax.lax.map(tile, (o, d, r))
+
+timeit("sample_along_rays_only", jax.jit(sample_only_image), o3, d3, r3)
 timeit("quad_sampling_full_image", jax.jit(quad_sample_image), qmaps, o3, d3, r3)
+timeit("quad_sampling_no_ray_diff",
+       jax.jit(lambda qm, o, d, r: quad_sample_image(qm, o, d, r, False)),
+       qmaps, o3, d3, r3)
 
 dyn_fn = jax.jit(lambda d, k: render_dynamic(d, cfg, k)["rgb"])
 timeit("dynamic_branch", dyn_fn, dev, jax.random.PRNGKey(0))
