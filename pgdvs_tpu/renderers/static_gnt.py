@@ -192,11 +192,11 @@ def render_rays_gnt(
                 views_outer=views_outer,
                 **kern_kwargs,
             )
-            zeros_std = jnp.zeros(
-                rays_o.shape[:1] + (z_vals.shape[-1], gnt.depth + 1),
-                jnp.float32,
-            )
-            out = dict(out, view_std=zeros_std, view_std_normalized=zeros_std)
+            # view-std diagnostics are only produced by the flax path; mark
+            # with a per-ray zero SENTINEL (not a [R, S, depth+1] zero
+            # tensor — weighting 2x38MB of zeros through the compositing
+            # sum costs real HBM passes per tile)
+            out = dict(out, view_std=None, view_std_normalized=None)
         else:
             out = gnt.apply(
                 gnt_params,
@@ -218,18 +218,25 @@ def render_rays_gnt(
             * jnp.sum(proj["mask_invalid"][..., 0], axis=view_axis) / n_src,
             axis=-1,
         )
+        n_layers = gnt.depth + 1
+        if out["view_std"] is None:
+            std_c = jnp.zeros(weights.shape[:-1] + (n_layers,), jnp.float32)
+            nstd_c = std_c
+        else:
+            # per-layer diagnostics composited along the ray by the same
+            # weights (gnt/renderer.py:297-311)
+            std_c = jnp.sum(weights[..., None] * out["view_std"], axis=-2)
+            nstd_c = jnp.sum(
+                weights[..., None] * out["view_std_normalized"], axis=-2
+            )
         return {
             "rgb": out["rgb"],
             "depth": depth,
             "weights": weights,
             "inbound_cnt": inbound_cnt,
             "dyn_cnt": dyn_cnt,
-            # per-layer diagnostics composited along the ray by the same
-            # weights (gnt/renderer.py:297-311)
-            "view_std": jnp.sum(weights[..., None] * out["view_std"], axis=-2),
-            "view_std_normalized": jnp.sum(
-                weights[..., None] * out["view_std_normalized"], axis=-2
-            ),
+            "view_std": std_c,
+            "view_std_normalized": nstd_c,
         }
 
     pts, z_vals = sampling.sample_along_rays(
