@@ -233,21 +233,16 @@ def _gnt_kernel3(
         qp = _dense(x, next_w())
         w_a0, b_a0 = next_w(), next_w()
         w_a1, b_a1 = next_w(), next_w()
-        # attn_fc_0 is linear: project kp/pos/qp through the 8-wide
-        # bottleneck FIRST so the (k - q + pos) combination happens on
-        # [nv, PH] instead of [nv, NW] — 8x less VMEM traffic for the
-        # combine (the kernel is VMEM-pass bound, not MXU bound)
-        d_k = _dense(kp, w_a0)
-        d_pos = _dense(pos, w_a0)
-        d_q = _dense(qp, w_a0)                     # [ns, PH]
-        pre = (
-            d_k + d_pos - jnp.concatenate([d_q] * v, axis=0)
-            + b_a0.astype(jnp.float32)
-        ).astype(dtype)
-        lg = _dense(jax.nn.relu(pre), w_a1, b_a1)  # [nv, NW] bf16
-        # bf16 softmax: the flax reference runs these activations in bf16
-        # too; the -1e30 mask bias is representable in bf16
-        lg = lg + view_bias.astype(dtype)
+        # NOTE: a "bottleneck-first" rewrite (project kp/pos/qp through the
+        # 8-wide attn_fc_0 before combining, bf16 softmax) measured 17%
+        # SLOWER (360 vs 307 ms/tile) — the extra narrow matmul issues cost
+        # more than the saved full-width elementwise passes. Keep this form.
+        qtile = jnp.concatenate([qp] * v, axis=0)
+        lg = _dense(
+            jax.nn.relu(_dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
+        )
+        lg = lg.astype(jnp.float32) + view_bias
+        val = (vp + pos).astype(jnp.float32)
 
         mx = vslice(lg, 0)
         for i in range(1, v):
@@ -255,11 +250,9 @@ def _gnt_kernel3(
         den = jnp.zeros((ns, NW), jnp.float32)
         agg = jnp.zeros((ns, NW), jnp.float32)
         for i in range(v):
-            ex = jnp.exp((vslice(lg, i) - mx).astype(jnp.float32))
+            ex = jnp.exp(vslice(lg, i) - mx)
             den = den + ex
-            agg = agg + ex * (vslice(vp, i) + vslice(pos, i)).astype(
-                jnp.float32
-            )
+            agg = agg + ex * vslice(val, i)
         agg = (agg / den).astype(dtype)
 
         agg = _dense(agg, next_w(), next_w())
