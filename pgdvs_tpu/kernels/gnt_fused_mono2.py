@@ -344,12 +344,16 @@ def gnt_fused_apply_mono2(
 
     When ``pts`` + ``cam_centers`` are given (and ray_diff is None), the
     ray-difference code is computed inside the kernel instead of being
-    streamed as a [V, R, S, 4] input.
+    streamed as a [V, R, S, 4] input. When ``mask`` is None, ``rgb_feat``
+    must already carry the validity mask as its trailing channel (the
+    sampler's pack_mask output) — skips a full-tensor concat copy.
     """
+    pre_packed = mask is None
     if views_outer:
-        v, r, s, feat_in = rgb_feat.shape
+        v, r, s, feat_ch = rgb_feat.shape
     else:
-        r, s, v, feat_in = rgb_feat.shape
+        r, s, v, feat_ch = rgb_feat.shape
+    feat_in = feat_ch - 1 if pre_packed else feat_ch
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
     fold_ray_diff = ray_diff is None
@@ -358,9 +362,13 @@ def gnt_fused_apply_mono2(
     weights = flatten_gnt_params_mono2(gnt_params)
     grid = (r // ray_block,)
 
-    packed = jnp.concatenate(
-        [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)], axis=-1
-    )
+    if pre_packed:
+        packed = rgb_feat.astype(jnp.bfloat16)
+    else:
+        packed = jnp.concatenate(
+            [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)],
+            axis=-1,
+        )
     if not views_outer:
         packed = jnp.transpose(packed, (2, 0, 1, 3))  # [V, R, S, F+1]
     if fold_ray_diff:

@@ -332,11 +332,14 @@ def gnt_fused_apply_mono3(
     cam_centers=None,
 ):
     """Contract of ``gnt_fused_apply_mono2`` (incl. the fold_ray_diff path:
-    pass ray_diff=None with pts + cam_centers)."""
+    pass ray_diff=None with pts + cam_centers, and the pre-packed path:
+    mask=None with the validity channel already trailing rgb_feat)."""
+    pre_packed = mask is None
     if views_outer:
-        v, r, s, feat_in = rgb_feat.shape
+        v, r, s, feat_ch = rgb_feat.shape
     else:
-        r, s, v, feat_in = rgb_feat.shape
+        r, s, v, feat_ch = rgb_feat.shape
+    feat_in = feat_ch - 1 if pre_packed else feat_ch
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
     fold_ray_diff = ray_diff is None
@@ -345,9 +348,13 @@ def gnt_fused_apply_mono3(
     weights = flatten_gnt_params_mono3(gnt_params)
     grid = (r // ray_block,)
 
-    packed = jnp.concatenate(
-        [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)], axis=-1
-    )
+    if pre_packed:
+        packed = rgb_feat.astype(jnp.bfloat16)
+    else:
+        packed = jnp.concatenate(
+            [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)],
+            axis=-1,
+        )
     if not views_outer:
         packed = jnp.transpose(packed, (2, 0, 1, 3))
     if fold_ray_diff:

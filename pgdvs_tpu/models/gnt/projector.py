@@ -189,6 +189,7 @@ def epipolar_sample_fused(
     views_outer: bool = False,
     map_scales=None,
     with_ray_diff: bool = True,
+    pack_mask: bool = False,
 ):
     """Fused-map epipolar sampling: ONE bilinear tap set per (sample, view).
 
@@ -198,8 +199,13 @@ def epipolar_sample_fused(
         per tap — the fast path).
       views_outer: return [V, R, S, *] (the fused kernel's native layout)
         instead of [R, S, V, *].
+      pack_mask: emit "packed" = rgb_feat with the validity mask as the
+        trailing channel (the fused kernel's exact input) INSTEAD of
+        separate rgb_feat/mask tensors — XLA fuses the concat into the
+        bilinear producer, saving a full [V, R, S, C+1] HBM copy per tile.
 
-    Returns the same dict contract as `epipolar_sample`.
+    Returns the same dict contract as `epipolar_sample` (with pack_mask:
+    "packed" replaces "rgb_feat"/"mask").
     """
     v, h, w, _ = src_maps.shape
     uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
@@ -236,13 +242,22 @@ def epipolar_sample_fused(
     else:
         to_out = lambda x: jnp.moveaxis(x, 0, 2)
 
-    return {
-        "rgb_feat": to_out(rgb_feat),
+    out = {
         "ray_diff": None if diff is None else to_out(diff),
-        "mask": to_out(mask),
         "mask_inbound": to_out(mask_inb),
         "mask_invalid": to_out(inv_s),
     }
+    if pack_mask:
+        out["packed"] = to_out(
+            jnp.concatenate(
+                [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)],
+                axis=-1,
+            )
+        )
+    else:
+        out["rgb_feat"] = to_out(rgb_feat)
+        out["mask"] = to_out(mask)
+    return out
 
 
 def epipolar_sample(

@@ -124,6 +124,14 @@ def render_rays_gnt(
         and cfg.pallas_fold_ray_diff
         and src_fused_maps is not None
     )
+    # pre-pack the mask channel at the sampler for mono2/mono3: the concat
+    # fuses into the bilinear producer, saving a full [V, R, S, C+1] HBM
+    # copy per tile
+    pack_mask = (
+        use_pallas
+        and cfg.pallas_kernel in ("mono2", "mono3")
+        and src_fused_maps is not None
+    )
 
     def gnt_pass(pts, z_vals):
         if src_fused_maps is not None:
@@ -139,6 +147,7 @@ def render_rays_gnt(
                 views_outer=views_outer,
                 map_scales=scales,
                 with_ray_diff=not fold_ray_diff,
+                pack_mask=pack_mask,
             )
         else:
             proj = epipolar_sample(
@@ -181,9 +190,9 @@ def render_rays_gnt(
                 kern_kwargs = {"pts": pts, "cam_centers": centers}
             out = gnt_fused_apply(
                 gnt_params,
-                proj["rgb_feat"],
+                proj["packed"] if pack_mask else proj["rgb_feat"],
                 proj["ray_diff"],
-                proj["mask"],
+                None if pack_mask else proj["mask"],
                 sinusoidal_embed(pts),
                 sinusoidal_embed(viewdirs),
                 ray_block=cfg.pallas_ray_block,

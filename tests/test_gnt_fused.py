@@ -193,6 +193,35 @@ def test_mono3_matches_flax(setup):
     )
 
 
+@pytest.mark.parametrize("version", ["mono2", "mono3"])
+def test_mono_pre_packed_matches(setup, version):
+    """mask=None + validity channel pre-packed into rgb_feat must match the
+    separate rgb_feat/mask inputs exactly (same bf16 packing either way)."""
+    if version == "mono2":
+        from pgdvs_tpu.kernels.gnt_fused_mono2 import gnt_fused_apply_mono2 as fn
+    else:
+        from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3 as fn
+
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    pc, vc = sinusoidal_embed(pts), sinusoidal_embed(viewdirs)
+    ref = fn(
+        params, rgb_feat, ray_diff, mask, pc, vc, ray_block=8, interpret=True
+    )
+    packed = jnp.concatenate(
+        [rgb_feat.astype(jnp.bfloat16), mask.astype(jnp.bfloat16)], axis=-1
+    )
+    got = fn(
+        params, packed, ray_diff, None, pc, vc, ray_block=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["weights"]), np.asarray(ref["weights"]), atol=1e-5
+    )
+
+
 def test_mono3_all_invalid_rows_finite(setup):
     from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
 

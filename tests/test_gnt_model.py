@@ -287,6 +287,18 @@ def test_quad_epipolar_matches_fused():
             np.moveaxis(np.asarray(vo[key]), 0, 2), np.asarray(quad[key]), err_msg=key
         )
 
+    # pack_mask: "packed" must be exactly concat(bf16 rgb_feat, bf16 mask)
+    pk = epipolar_sample_fused(
+        pts, tgt, cams, qmaps, with_mask=True, quad=True, views_outer=True,
+        pack_mask=True,
+    )
+    assert "rgb_feat" not in pk and "mask" not in pk
+    want = jnp.concatenate(
+        [vo["rgb_feat"].astype(jnp.bfloat16), vo["mask"].astype(jnp.bfloat16)],
+        axis=-1,
+    )
+    np.testing.assert_array_equal(np.asarray(pk["packed"]), np.asarray(want))
+
 
 @pytest.mark.slow
 def test_render_rays_quad_views_outer_matches_exact_flax():
