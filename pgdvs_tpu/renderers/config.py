@@ -70,6 +70,10 @@ class RenderConfig:
     pallas_fold_ray_diff: bool = False  # mono2/mono3: compute the ray-diff
     #                                code inside the kernel (skips the XLA
     #                                [V, R, S, 4] materialization)
+    pallas_ablate: str = ""        # perf-bisection only (mono2): skip kernel
+    #                                stages in situ ('no_view' | 'no_ray' |
+    #                                'no_softmax' | 'min') to attribute e2e
+    #                                render time; "" = full kernel
     epipolar_mode: str = "exact"   # 'exact' | 'fused' | 'quad' | 'quad_i8'
     #   Default is the reference-faithful sampler so evaluation numerics
     #   match the reference by default; bench/perf configs opt into 'quad'

@@ -179,6 +179,8 @@ def render_rays_gnt(
 
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
             kern_kwargs = {}
+            if cfg.pallas_ablate and cfg.pallas_kernel == "mono2":
+                kern_kwargs["ablate"] = cfg.pallas_ablate
             if fold_ray_diff:
                 centers = jnp.concatenate(
                     [
