@@ -147,16 +147,21 @@ def _gnt_kernel3(
     v: int,
     feat_in: int,
     fold_ray_diff: bool,
+    separate_mask: bool,
     rf_ref,
-    rd_ref,       # [v, rb, s, 4] or pts [rb, s, 3] with fold_ray_diff
-    pos_code_ref,
     *rest,
 ):
+    if separate_mask:
+        mask_ref = rest[0]
+        rest = rest[1:]
+    rd_ref = rest[0]   # [v, rb, s, 4] or pts [rb, s, 3] with fold_ray_diff
+    pos_code_ref = rest[1]
+    rest = rest[2:]
     if fold_ray_diff:
         centers_ref = rest[0]
         rest = rest[1:]
-    weight_refs = rest[:-2]
-    rgb_out_ref, w_out_ref = rest[-2:]
+    weight_refs = rest[:-3]
+    rgb_out_ref, w_out_ref, cnt_out_ref = rest[-3:]
     widx = [0]
 
     def next_w():
@@ -168,9 +173,16 @@ def _gnt_kernel3(
     ns = rb * s
     nv = v * ns
 
-    packed = rf_ref[:].reshape(nv, feat_in + 1)
-    rgb_feat = packed[:, :feat_in].astype(dtype)
-    mask_col = packed[:, feat_in:].astype(jnp.float32)
+    if separate_mask:
+        # rgb_feat arrives without the mask channel (straight from the
+        # sampler's lerp fusion — no XLA-side concat copy); the validity
+        # mask is its own [v, rb, s, 1] input
+        rgb_feat = rf_ref[:].reshape(nv, feat_in).astype(dtype)
+        mask_col = mask_ref[:].reshape(nv, 1).astype(jnp.float32)
+    else:
+        packed = rf_ref[:].reshape(nv, feat_in + 1)
+        rgb_feat = packed[:, :feat_in].astype(dtype)
+        mask_col = packed[:, feat_in:].astype(jnp.float32)
     if fold_ray_diff:
         eps = 1e-6
         xyz = rd_ref[:].reshape(ns, 3).astype(jnp.float32)
@@ -313,10 +325,19 @@ def _gnt_kernel3(
 
     rgb_out_ref[0] = rgb.astype(jnp.float32)
     w_out_ref[0] = weights_out.astype(jnp.float32)
+    # attention-weighted valid-view count per ray (renderer's inbound_cnt
+    # when the validity mask == the inbound mask, i.e. gnt_use_dyn_mask off;
+    # saves the XLA-side [V, R, S] reduction chain — static_gnt.py:220-229)
+    wout2 = weights_out[:, 0, :].astype(jnp.float32)     # [rb, s]
+    cnt_rs = cnt.reshape(rb, s)                          # tiny relayout
+    cnt_out_ref[0] = jnp.sum(wout2 * cnt_rs, axis=-1, keepdims=True) * (
+        1.0 / v
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_block", "interpret", "views_outer")
+    jax.jit,
+    static_argnames=("ray_block", "interpret", "views_outer", "separate_mask"),
 )
 def gnt_fused_apply_mono3(
     gnt_params,
@@ -330,25 +351,38 @@ def gnt_fused_apply_mono3(
     views_outer: bool = False,
     pts=None,
     cam_centers=None,
+    separate_mask: bool = False,
 ):
     """Contract of ``gnt_fused_apply_mono2`` (incl. the fold_ray_diff path:
     pass ray_diff=None with pts + cam_centers, and the pre-packed path:
-    mask=None with the validity channel already trailing rgb_feat)."""
+    mask=None with the validity channel already trailing rgb_feat), plus:
+
+    separate_mask=True: rgb_feat ([*, feat_in], no mask channel) and mask
+    ([*, 1]) are passed to the kernel as SEPARATE inputs — no XLA-side
+    concat copy at all (the concat was a ~30 ms/tile kLoop fusion at bench
+    scale, scripts/hlo_dump_exp.py).
+
+    Returns {rgb [R, 3], weights [R, S], inbound_cnt_raw [R]} where
+    inbound_cnt_raw = sum_s weights * (valid views / V) — equals the
+    renderer's inbound_cnt whenever validity == inbound (dyn mask off).
+    """
     pre_packed = mask is None
     if views_outer:
         v, r, s, feat_ch = rgb_feat.shape
     else:
         r, s, v, feat_ch = rgb_feat.shape
-    feat_in = feat_ch - 1 if pre_packed else feat_ch
+    feat_in = feat_ch - 1 if (pre_packed and not separate_mask) else feat_ch
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
     fold_ray_diff = ray_diff is None
     if fold_ray_diff:
         assert pts is not None and cam_centers is not None
+    if separate_mask and mask is None:
+        raise ValueError("separate_mask requires an explicit mask input")
     weights = flatten_gnt_params_mono3(gnt_params)
     grid = (r // ray_block,)
 
-    if pre_packed:
+    if separate_mask or pre_packed:
         packed = rgb_feat.astype(jnp.bfloat16)
     else:
         packed = jnp.concatenate(
@@ -357,6 +391,11 @@ def gnt_fused_apply_mono3(
         )
     if not views_outer:
         packed = jnp.transpose(packed, (2, 0, 1, 3))
+    mask_t = None
+    if separate_mask:
+        mask_t = mask.astype(jnp.bfloat16)
+        if not views_outer:
+            mask_t = jnp.transpose(mask_t, (2, 0, 1, 3))
     if fold_ray_diff:
         rd_t = pts.astype(jnp.float32)
         rd_spec = pl.BlockSpec(
@@ -379,25 +418,39 @@ def gnt_fused_apply_mono3(
 
     in_specs = [
         pl.BlockSpec(
-            (v, ray_block, s, feat_in + 1),
+            (v, ray_block, s, feat_in + (0 if separate_mask else 1)),
             lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+    ]
+    operands = [packed]
+    if separate_mask:
+        in_specs.append(
+            pl.BlockSpec(
+                (v, ray_block, s, 1),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(mask_t)
+    in_specs += [
         rd_spec,
         pl.BlockSpec(
             (ray_block, s, 2 * POSENC), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
-    extra = []
+    operands += [rd_t, pos_code]
     if fold_ray_diff:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        extra.append(jnp.asarray(cam_centers, jnp.float32))
+        operands.append(jnp.asarray(cam_centers, jnp.float32))
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    operands += weights
 
-    rgb, w = pl.pallas_call(
+    rgb, w, cnt = pl.pallas_call(
         functools.partial(
-            _gnt_kernel3, ray_block, s, v, feat_in, fold_ray_diff
+            _gnt_kernel3, ray_block, s, v, feat_in, fold_ray_diff,
+            separate_mask,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -410,17 +463,23 @@ def gnt_fused_apply_mono3(
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, ray_block, 1), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((grid[0], ray_block, 3), jnp.float32),
             jax.ShapeDtypeStruct((grid[0], ray_block, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], ray_block, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(packed, rd_t, pos_code, *extra, *weights)
+    )(*operands)
     return {
         "rgb": rgb.reshape(r, 3),
         "weights": w.reshape(r, s),
+        "inbound_cnt_raw": cnt.reshape(r),
     }

@@ -124,12 +124,19 @@ def render_rays_gnt(
         and cfg.pallas_fold_ray_diff
         and src_fused_maps is not None
     )
-    # pre-pack the mask channel at the sampler for mono2/mono3: the concat
-    # fuses into the bilinear producer, saving a full [V, R, S, C+1] HBM
-    # copy per tile
+    # mono3: rgb_feat and mask go to the kernel as SEPARATE operands — the
+    # concat copy disappears entirely, and the kernel returns the
+    # attention-weighted valid-view count (inbound_cnt when dyn mask is
+    # off), skipping the XLA-side [V, R, S] mask reductions
+    separate_mask = (
+        use_pallas
+        and cfg.pallas_kernel == "mono3"
+        and src_fused_maps is not None
+    )
+    # mono2: pre-pack the mask channel at the sampler (single packed input)
     pack_mask = (
         use_pallas
-        and cfg.pallas_kernel in ("mono2", "mono3")
+        and cfg.pallas_kernel == "mono2"
         and src_fused_maps is not None
     )
 
@@ -181,6 +188,8 @@ def render_rays_gnt(
             kern_kwargs = {}
             if cfg.pallas_ablate and cfg.pallas_kernel == "mono2":
                 kern_kwargs["ablate"] = cfg.pallas_ablate
+            if separate_mask:
+                kern_kwargs["separate_mask"] = True
             if fold_ray_diff:
                 centers = jnp.concatenate(
                     [
@@ -219,16 +228,25 @@ def render_rays_gnt(
             )
         weights = out["weights"]  # [R, S]
         depth = jnp.sum(weights * z_vals, axis=-1)
-        inbound_cnt = jnp.sum(
-            weights
-            * jnp.sum(proj["mask_inbound"][..., 0], axis=view_axis) / n_src,
-            axis=-1,
-        )
-        dyn_cnt = jnp.sum(
-            weights
-            * jnp.sum(proj["mask_invalid"][..., 0], axis=view_axis) / n_src,
-            axis=-1,
-        )
+        if "inbound_cnt_raw" in out and not cfg.gnt_use_dyn_mask:
+            # validity == inbound when the dyn mask is off, so the kernel's
+            # weighted valid-view count IS inbound_cnt and dyn_cnt == 0 —
+            # the [V, R, S] reduction chains below fold away
+            inbound_cnt = out["inbound_cnt_raw"]
+            dyn_cnt = jnp.zeros_like(inbound_cnt)
+        else:
+            inbound_cnt = jnp.sum(
+                weights
+                * jnp.sum(proj["mask_inbound"][..., 0], axis=view_axis)
+                / n_src,
+                axis=-1,
+            )
+            dyn_cnt = jnp.sum(
+                weights
+                * jnp.sum(proj["mask_invalid"][..., 0], axis=view_axis)
+                / n_src,
+                axis=-1,
+            )
         n_layers = gnt.depth + 1
         if out["view_std"] is None:
             std_c = jnp.zeros(weights.shape[:-1] + (n_layers,), jnp.float32)

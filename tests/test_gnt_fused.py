@@ -222,6 +222,39 @@ def test_mono_pre_packed_matches(setup, version):
     )
 
 
+def test_mono3_separate_mask_matches_and_counts(setup):
+    """separate_mask inputs must match the concat path exactly, and the
+    in-kernel weighted valid-view count must match the XLA-side reduction
+    (static_gnt.py inbound_cnt semantics with validity == inbound)."""
+    from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
+
+    gnt, params, rgb_feat, ray_diff, mask, pts, ray_d = setup
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    pc, vc = sinusoidal_embed(pts), sinusoidal_embed(viewdirs)
+    ref = gnt_fused_apply_mono3(
+        params, rgb_feat, ray_diff, mask, pc, vc, ray_block=8, interpret=True
+    )
+    got = gnt_fused_apply_mono3(
+        params, rgb_feat, ray_diff, mask, pc, vc, ray_block=8, interpret=True,
+        separate_mask=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["weights"]), np.asarray(ref["weights"]), atol=1e-5
+    )
+    v = rgb_feat.shape[2]
+    want_cnt = np.sum(
+        np.asarray(ref["weights"])
+        * np.sum(np.asarray(mask)[..., 0], axis=-1) / v,
+        axis=-1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["inbound_cnt_raw"]), want_cnt, atol=1e-4
+    )
+
+
 def test_mono3_all_invalid_rows_finite(setup):
     from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
 

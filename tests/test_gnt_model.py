@@ -339,6 +339,12 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     cfg_quad = RenderConfig(
         **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8
     )
+    # the bench configuration: mono3 kernel + in-kernel ray diff + separate
+    # mask inputs + in-kernel inbound count
+    cfg_bench = RenderConfig(
+        **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8,
+        pallas_kernel="mono3", pallas_fold_ray_diff=True,
+    )
 
     def render(cfg):
         return jax.jit(
@@ -348,6 +354,14 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         )(params)
 
     out_e, out_f, out_q = render(cfg_exact), render(cfg_fused), render(cfg_quad)
+    out_b = render(cfg_bench)
+    # slightly looser rgb bound than quad-vs-fused: the in-kernel ray diff
+    # rounds through bf16 at a different point than the XLA-side stream
+    for key, tol in (("rgb", 0.04), ("depth", 0.1), ("inbound_cnt", 0.02)):
+        np.testing.assert_allclose(
+            np.asarray(out_b[key]), np.asarray(out_q[key]), atol=tol,
+            err_msg=f"mono3 bench path: {key}",
+        )
     # quad packs the same fused maps into the channel dim: vs the 4-tap
     # fused mode only float summation order differs (both bf16 kernels)
     np.testing.assert_allclose(
