@@ -26,7 +26,8 @@ def _gather_pixels(img, ix, iy):
     h, w = img.shape[0], img.shape[1]
     flat = img.reshape(h * w, -1)
     idx = iy * w + ix
-    return jnp.take(flat, idx, axis=0)
+    # callers pass pre-clipped indices; mode="clip" skips the OOB fill select
+    return jnp.take(flat, idx, axis=0, mode="clip")
 
 
 def gather_2x2(img, x0, y0):

@@ -70,9 +70,13 @@ def multiview_bilinear(imgs, x, y, zero_pad: bool = True):
         (w, wy1 * wx0),
         (w + 1, wy1 * wx1),
     ):
-        out = out + jnp.take(flat, base + dd, axis=0) * wgt.reshape(-1, 1).astype(
-            imgs.dtype
-        )
+        # indices are in-bounds by construction (sx/sy clamped, +dd stays
+        # inside the row-major [v*h*w] space); mode="clip" skips jnp.take's
+        # default out-of-bounds fill select — a full pass over the gathered
+        # rows (scripts/hlo_dump_exp.py)
+        out = out + jnp.take(
+            flat, base + dd, axis=0, mode="clip"
+        ) * wgt.reshape(-1, 1).astype(imgs.dtype)
     return out.reshape(shape + (c,))
 
 
@@ -166,7 +170,9 @@ def quad_bilinear(qmaps, x, y, scales=None):
     wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - sy)).reshape(-1, 1)
     wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(yf - (sy + 1.0))).reshape(-1, 1)
 
-    row = jnp.take(flat, base, axis=0)  # [N, 4C]
+    # base is in-bounds by construction; mode="clip" avoids the
+    # out-of-bounds fill select over the [N, 4C] gathered rows
+    row = jnp.take(flat, base, axis=0, mode="clip")  # [N, 4C]
     if scales is not None:  # int8 maps: dequantize after the gather
         row = row.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
     dt = row.dtype
