@@ -45,6 +45,7 @@ def main():
         pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
         pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono3"),
         pallas_fold_ray_diff=os.environ.get("BENCH_FOLD_RAY_DIFF", "1") == "1",
+        pallas_fold_pos_code=os.environ.get("BENCH_FOLD_POS_CODE", "1") == "1",
         pallas_ablate=os.environ.get("BENCH_PALLAS_ABLATE", ""),
     )
 

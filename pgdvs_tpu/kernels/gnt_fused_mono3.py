@@ -148,6 +148,7 @@ def _gnt_kernel3(
     feat_in: int,
     fold_ray_diff: bool,
     separate_mask: bool,
+    fold_pos_code: bool,
     rf_ref,
     *rest,
 ):
@@ -205,7 +206,27 @@ def _gnt_kernel3(
         ray_diff = jnp.concatenate(rd_rows, axis=0).astype(dtype)
     else:
         ray_diff = rd_ref[:].reshape(nv, 4).astype(dtype)
-    pos_code = pos_code_ref[:].reshape(ns, 2 * POSENC).astype(dtype)
+    if fold_pos_code:
+        # build the 63-ch pts embedding in VMEM from the sample positions
+        # (already streamed for fold_ray_diff) via the double-angle octave
+        # recurrence — drops the [R, S, 2*POSENC] bf16 HBM stream; the
+        # per-ray view embedding arrives as a tiny [rb, POSENC] input
+        pparts = [xyz]
+        ps, pc = jnp.sin(xyz), jnp.cos(xyz)
+        for _ in range(10):
+            pparts.append(ps)
+            pparts.append(pc)
+            ps, pc = 2.0 * ps * pc, pc * pc - ps * ps
+        pts_code = jnp.concatenate(pparts, axis=-1)  # [ns, POSENC]
+        vc = pos_code_ref[:].astype(jnp.float32)     # [rb, 1, POSENC]
+        vc_b = jnp.broadcast_to(
+            vc, (rb, s, POSENC)
+        ).reshape(ns, POSENC)
+        pos_code = jnp.concatenate(
+            [pts_code, vc_b], axis=-1
+        ).astype(dtype)                              # [ns, 2*POSENC]
+    else:
+        pos_code = pos_code_ref[:].reshape(ns, 2 * POSENC).astype(dtype)
 
     def vslice(x, i):
         return x[i * ns : (i + 1) * ns]
@@ -337,7 +358,10 @@ def _gnt_kernel3(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_block", "interpret", "views_outer", "separate_mask"),
+    static_argnames=(
+        "ray_block", "interpret", "views_outer", "separate_mask",
+        "fold_pos_code",
+    ),
 )
 def gnt_fused_apply_mono3(
     gnt_params,
@@ -352,6 +376,7 @@ def gnt_fused_apply_mono3(
     pts=None,
     cam_centers=None,
     separate_mask: bool = False,
+    fold_pos_code: bool = False,
 ):
     """Contract of ``gnt_fused_apply_mono2`` (incl. the fold_ray_diff path:
     pass ray_diff=None with pts + cam_centers, and the pre-packed path:
@@ -411,10 +436,26 @@ def gnt_fused_apply_mono3(
             (v, ray_block, s, 4), lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
-    pos_code = jnp.concatenate(
-        [pts_code, jnp.broadcast_to(view_code[:, None, :], pts_code.shape)],
-        axis=-1,
-    ).astype(jnp.bfloat16)
+    if fold_pos_code:
+        if not fold_ray_diff:
+            raise ValueError("fold_pos_code requires the fold_ray_diff path")
+        # per-ray view embedding only; pts embedding is built in-kernel.
+        # [r, 1, POSENC] so the block's last two dims equal the array dims
+        # (Mosaic's block-shape divisibility rule with ray_block < 8)
+        pos_code = view_code.astype(jnp.bfloat16)[:, None, :]
+        pos_spec = pl.BlockSpec(
+            (ray_block, 1, POSENC), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        pos_code = jnp.concatenate(
+            [pts_code, jnp.broadcast_to(view_code[:, None, :], pts_code.shape)],
+            axis=-1,
+        ).astype(jnp.bfloat16)
+        pos_spec = pl.BlockSpec(
+            (ray_block, s, 2 * POSENC), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     in_specs = [
         pl.BlockSpec(
@@ -433,13 +474,7 @@ def gnt_fused_apply_mono3(
             )
         )
         operands.append(mask_t)
-    in_specs += [
-        rd_spec,
-        pl.BlockSpec(
-            (ray_block, s, 2 * POSENC), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
+    in_specs += [rd_spec, pos_spec]
     operands += [rd_t, pos_code]
     if fold_ray_diff:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -450,7 +485,7 @@ def gnt_fused_apply_mono3(
     rgb, w, cnt = pl.pallas_call(
         functools.partial(
             _gnt_kernel3, ray_block, s, v, feat_in, fold_ray_diff,
-            separate_mask,
+            separate_mask, fold_pos_code,
         ),
         grid=grid,
         in_specs=in_specs,

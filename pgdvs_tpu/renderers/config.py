@@ -70,6 +70,10 @@ class RenderConfig:
     pallas_fold_ray_diff: bool = False  # mono2/mono3: compute the ray-diff
     #                                code inside the kernel (skips the XLA
     #                                [V, R, S, 4] materialization)
+    pallas_fold_pos_code: bool = False  # mono3 (+fold_ray_diff): build the
+    #                                pts positional embedding in-kernel from
+    #                                the streamed sample positions (skips
+    #                                the [R, S, 126] bf16 HBM stream)
     pallas_ablate: str = ""        # perf-bisection only (mono2): skip kernel
     #                                stages in situ ('no_view' | 'no_ray' |
     #                                'no_softmax' | 'min') to attribute e2e

@@ -190,6 +190,13 @@ def render_rays_gnt(
                 kern_kwargs["ablate"] = cfg.pallas_ablate
             if separate_mask:
                 kern_kwargs["separate_mask"] = True
+            fold_pos = (
+                fold_ray_diff
+                and cfg.pallas_fold_pos_code
+                and cfg.pallas_kernel == "mono3"
+            )
+            if fold_pos:
+                kern_kwargs["fold_pos_code"] = True
             if fold_ray_diff:
                 centers = jnp.concatenate(
                     [
@@ -198,13 +205,13 @@ def render_rays_gnt(
                     ],
                     axis=0,
                 )
-                kern_kwargs = {"pts": pts, "cam_centers": centers}
+                kern_kwargs.update({"pts": pts, "cam_centers": centers})
             out = gnt_fused_apply(
                 gnt_params,
                 proj["packed"] if pack_mask else proj["rgb_feat"],
                 proj["ray_diff"],
                 None if pack_mask else proj["mask"],
-                sinusoidal_embed(pts),
+                None if fold_pos else sinusoidal_embed(pts),
                 sinusoidal_embed(viewdirs),
                 ray_block=cfg.pallas_ray_block,
                 # Pallas TPU kernels only interpret on CPU (tests / virtual)

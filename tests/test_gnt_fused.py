@@ -255,6 +255,41 @@ def test_mono3_separate_mask_matches_and_counts(setup):
     )
 
 
+def test_mono3_fold_pos_code_matches(setup):
+    """In-kernel pts embedding (fold_pos_code, requires fold_ray_diff) must
+    match the streamed pos_code path."""
+    from pgdvs_tpu.core.cameras import ray_diff_features
+    from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
+
+    gnt, params, rgb_feat, _rd, mask, pts, ray_d = setup
+    rng = np.random.default_rng(7)
+    v = rgb_feat.shape[2]
+    tgt_c2w = np.eye(4, dtype=np.float32)
+    tgt_c2w[:3, 3] = [0.1, -0.2, -2.0]
+    src_c2ws = np.stack([np.eye(4, dtype=np.float32)] * v)
+    src_c2ws[:, :3, 3] = rng.normal(0, 0.5, (v, 3)) + [0, 0, -2.0]
+    centers = jnp.asarray(
+        np.concatenate([tgt_c2w[None, :3, 3], src_c2ws[:, :3, 3]], axis=0)
+    )
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    pc, vc = sinusoidal_embed(pts), sinusoidal_embed(viewdirs)
+    common = dict(ray_block=8, interpret=True, pts=pts, cam_centers=centers)
+    ref = gnt_fused_apply_mono3(
+        params, rgb_feat, None, mask, pc, vc, **common
+    )
+    got = gnt_fused_apply_mono3(
+        params, rgb_feat, None, mask, None, vc, fold_pos_code=True, **common
+    )
+    # bf16-ULP-scale differences: the recurrence compiles with different
+    # FMA contraction inside the kernel vs the XLA-side embed
+    np.testing.assert_allclose(
+        np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=0.01
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["weights"]), np.asarray(ref["weights"]), atol=0.005
+    )
+
+
 def test_mono3_all_invalid_rows_finite(setup):
     from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
 

@@ -344,6 +344,7 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     cfg_bench = RenderConfig(
         **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8,
         pallas_kernel="mono3", pallas_fold_ray_diff=True,
+        pallas_fold_pos_code=True,
     )
 
     def render(cfg):
