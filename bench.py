@@ -46,6 +46,10 @@ def main():
         pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono3"),
         pallas_fold_ray_diff=os.environ.get("BENCH_FOLD_RAY_DIFF", "1") == "1",
         pallas_fold_pos_code=os.environ.get("BENCH_FOLD_POS_CODE", "1") == "1",
+        # fold_lerp measured SLOWER end-to-end: the raw-rows stream forces
+        # ray_tile 2048 (HBM capacity), whose per-tile costs outweigh the
+        # lerp-pass saving (21.5 s vs 19.3 s) — off by default
+        pallas_fold_lerp=os.environ.get("BENCH_FOLD_LERP", "0") == "1",
         pallas_ablate=os.environ.get("BENCH_PALLAS_ABLATE", ""),
     )
 

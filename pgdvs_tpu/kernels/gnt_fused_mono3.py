@@ -149,11 +149,15 @@ def _gnt_kernel3(
     fold_ray_diff: bool,
     separate_mask: bool,
     fold_pos_code: bool,
+    fold_lerp: bool,
     rf_ref,
     *rest,
 ):
     if separate_mask:
         mask_ref = rest[0]
+        rest = rest[1:]
+    if fold_lerp:
+        frac_ref = rest[0]  # [v, rb, s, 2] f32 fractional offsets
         rest = rest[1:]
     rd_ref = rest[0]   # [v, rb, s, 4] or pts [rb, s, 3] with fold_ray_diff
     pos_code_ref = rest[1]
@@ -174,7 +178,27 @@ def _gnt_kernel3(
     ns = rb * s
     nv = v * ns
 
-    if separate_mask:
+    if fold_lerp:
+        # rf_ref carries the RAW gathered quad rows [v, rb, s, 4*feat_in];
+        # the bilinear combine happens here in VMEM (the [*, feat_in] lerp
+        # output never exists in HBM). Weight formula matches
+        # projector.quad_bilinear's zero-pad semantics exactly.
+        rows = rf_ref[:].reshape(nv, 4 * feat_in)
+        fr = frac_ref[:].reshape(nv, 2).astype(jnp.float32)
+        fx, fy = fr[:, 0:1], fr[:, 1:2]
+        wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(fx))
+        wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(fx - 1.0))
+        wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(fy))
+        wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(fy - 1.0))
+        c = feat_in
+        rgb_feat = (
+            rows[:, :c] * (wx0 * wy0).astype(dtype)
+            + rows[:, c : 2 * c] * (wx1 * wy0).astype(dtype)
+            + rows[:, 2 * c : 3 * c] * (wx0 * wy1).astype(dtype)
+            + rows[:, 3 * c :] * (wx1 * wy1).astype(dtype)
+        ).astype(dtype)
+        mask_col = mask_ref[:].reshape(nv, 1).astype(jnp.float32)
+    elif separate_mask:
         # rgb_feat arrives without the mask channel (straight from the
         # sampler's lerp fusion — no XLA-side concat copy); the validity
         # mask is its own [v, rb, s, 1] input
@@ -360,7 +384,7 @@ def _gnt_kernel3(
     jax.jit,
     static_argnames=(
         "ray_block", "interpret", "views_outer", "separate_mask",
-        "fold_pos_code",
+        "fold_pos_code", "fold_lerp",
     ),
 )
 def gnt_fused_apply_mono3(
@@ -377,6 +401,8 @@ def gnt_fused_apply_mono3(
     cam_centers=None,
     separate_mask: bool = False,
     fold_pos_code: bool = False,
+    fold_lerp: bool = False,
+    frac=None,
 ):
     """Contract of ``gnt_fused_apply_mono2`` (incl. the fold_ray_diff path:
     pass ray_diff=None with pts + cam_centers, and the pre-packed path:
@@ -396,7 +422,17 @@ def gnt_fused_apply_mono3(
         v, r, s, feat_ch = rgb_feat.shape
     else:
         r, s, v, feat_ch = rgb_feat.shape
-    feat_in = feat_ch - 1 if (pre_packed and not separate_mask) else feat_ch
+    if fold_lerp:
+        # rgb_feat = raw quad rows [V, R, S, 4*C] + frac offsets
+        if not (separate_mask and views_outer and frac is not None):
+            raise ValueError(
+                "fold_lerp requires separate_mask + views_outer + frac"
+            )
+        feat_in = feat_ch // 4
+    else:
+        feat_in = (
+            feat_ch - 1 if (pre_packed and not separate_mask) else feat_ch
+        )
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
     fold_ray_diff = ray_diff is None
@@ -457,9 +493,15 @@ def gnt_fused_apply_mono3(
             memory_space=pltpu.VMEM,
         )
 
+    if fold_lerp:
+        first_ch = 4 * feat_in
+    elif separate_mask:
+        first_ch = feat_in
+    else:
+        first_ch = feat_in + 1
     in_specs = [
         pl.BlockSpec(
-            (v, ray_block, s, feat_in + (0 if separate_mask else 1)),
+            (v, ray_block, s, first_ch),
             lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -474,6 +516,15 @@ def gnt_fused_apply_mono3(
             )
         )
         operands.append(mask_t)
+    if fold_lerp:
+        in_specs.append(
+            pl.BlockSpec(
+                (v, ray_block, s, 2),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(frac.astype(jnp.float32))
     in_specs += [rd_spec, pos_spec]
     operands += [rd_t, pos_code]
     if fold_ray_diff:
@@ -485,7 +536,7 @@ def gnt_fused_apply_mono3(
     rgb, w, cnt = pl.pallas_call(
         functools.partial(
             _gnt_kernel3, ray_block, s, v, feat_in, fold_ray_diff,
-            separate_mask, fold_pos_code,
+            separate_mask, fold_pos_code, fold_lerp,
         ),
         grid=grid,
         in_specs=in_specs,

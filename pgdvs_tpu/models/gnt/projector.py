@@ -266,6 +266,48 @@ def epipolar_sample_fused(
     return out
 
 
+def epipolar_sample_quad_raw(pts, tgt_cam, src_cams, qmaps):
+    """Quad-map epipolar sampling WITHOUT the lerp: raw gathered rows.
+
+    The bilinear combine is done inside the fused GNT kernel
+    (``gnt_fused_mono3`` fold_lerp mode) — the [V, R, S, C] lerp output
+    never touches HBM, removing a full-tensor fusion pass per ray tile
+    (scripts/hlo_dump_exp.py). Only the no-dyn-mask path is supported
+    (the sampled-invalid threshold would need the lerped mask channel).
+
+    Returns dict (views-outer layouts):
+      rows [V, R, S, 4C] raw quad rows; frac [V, R, S, 2] f32 fractional
+      offsets (x - sx, y - sy, sx/sy clamped to [0, dim-2] — the kernel
+      reconstructs the zero-pad bilinear weights exactly);
+      mask / mask_inbound [V, R, S, 1] (in-front & in-bounds);
+      mask_invalid zeros; ray_diff None (fold_ray_diff in-kernel).
+    """
+    v, h, w, c4 = qmaps.shape
+    uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
+    inbound = cameras.pixel_inbound(uv, float(h), float(w))
+
+    flat = qmaps.reshape(v * h * w, c4)
+    x, y = uv[..., 0], uv[..., 1]
+    sx = jnp.clip(jnp.floor(x), 0, max(w - 2, 0))
+    sy = jnp.clip(jnp.floor(y), 0, max(h - 2, 0))
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
+    base = sy.astype(jnp.int32) * w + sx.astype(jnp.int32) + offs
+    rows = jnp.take(flat, base.reshape(-1), axis=0, mode="clip").reshape(
+        base.shape + (c4,)
+    )
+    frac = jnp.stack([x - sx, y - sy], axis=-1)
+
+    mask_inb = (inbound & in_front).astype(jnp.float32)[..., None]
+    return {
+        "rows": rows,
+        "frac": frac,
+        "ray_diff": None,
+        "mask": mask_inb,
+        "mask_inbound": mask_inb,
+        "mask_invalid": jnp.zeros_like(mask_inb),
+    }
+
+
 def epipolar_sample(
     pts,
     tgt_cam,

@@ -74,6 +74,16 @@ class RenderConfig:
     #                                pts positional embedding in-kernel from
     #                                the streamed sample positions (skips
     #                                the [R, S, 126] bf16 HBM stream)
+    pallas_fold_lerp: bool = False  # mono3 (+fold_ray_diff, quad maps, no
+    #                                dyn mask): stream RAW gathered quad
+    #                                rows + fractional offsets and do the
+    #                                bilinear combine in-kernel (the
+    #                                [V, R, S, C] lerp output never exists
+    #                                in HBM). Measured SLOWER at bench
+    #                                scale: the [*, 4C] rows force
+    #                                ray_tile<=2048 for HBM capacity and
+    #                                the extra tiles cost more than the
+    #                                saved lerp pass (21.5 vs 19.3 s/view)
     pallas_ablate: str = ""        # perf-bisection only (mono2): skip kernel
     #                                stages in situ ('no_view' | 'no_ray' |
     #                                'no_softmax' | 'min') to attribute e2e

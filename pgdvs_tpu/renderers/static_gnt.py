@@ -30,6 +30,7 @@ from pgdvs_tpu.models.gnt.projector import (
     build_quad_maps,
     epipolar_sample,
     epipolar_sample_fused,
+    epipolar_sample_quad_raw,
     quantize_quad_maps,
 )
 from pgdvs_tpu.renderers.config import RenderConfig
@@ -139,6 +140,15 @@ def render_rays_gnt(
         and cfg.pallas_kernel == "mono2"
         and src_fused_maps is not None
     )
+    # mono3 fold_lerp: stream raw quad rows + frac; bilinear combine
+    # happens inside the kernel (no [V, R, S, C] lerp tensor in HBM)
+    fold_lerp = (
+        separate_mask
+        and cfg.pallas_fold_lerp
+        and fold_ray_diff
+        and not cfg.gnt_use_dyn_mask
+        and cfg.epipolar_mode == "quad"
+    )
 
     def gnt_pass(pts, z_vals):
         if src_fused_maps is not None:
@@ -147,15 +157,18 @@ def render_rays_gnt(
                 if isinstance(src_fused_maps, tuple)
                 else (src_fused_maps, None)
             )
-            proj = epipolar_sample_fused(
-                pts, tgt_cam, src_cams, maps,
-                with_mask=cfg.gnt_use_dyn_mask,
-                quad=cfg.epipolar_mode.startswith("quad"),
-                views_outer=views_outer,
-                map_scales=scales,
-                with_ray_diff=not fold_ray_diff,
-                pack_mask=pack_mask,
-            )
+            if fold_lerp:
+                proj = epipolar_sample_quad_raw(pts, tgt_cam, src_cams, maps)
+            else:
+                proj = epipolar_sample_fused(
+                    pts, tgt_cam, src_cams, maps,
+                    with_mask=cfg.gnt_use_dyn_mask,
+                    quad=cfg.epipolar_mode.startswith("quad"),
+                    views_outer=views_outer,
+                    map_scales=scales,
+                    with_ray_diff=not fold_ray_diff,
+                    pack_mask=pack_mask,
+                )
         else:
             proj = epipolar_sample(
                 pts,
@@ -197,6 +210,9 @@ def render_rays_gnt(
             )
             if fold_pos:
                 kern_kwargs["fold_pos_code"] = True
+            if fold_lerp:
+                kern_kwargs["fold_lerp"] = True
+                kern_kwargs["frac"] = proj["frac"]
             if fold_ray_diff:
                 centers = jnp.concatenate(
                     [
@@ -208,7 +224,9 @@ def render_rays_gnt(
                 kern_kwargs.update({"pts": pts, "cam_centers": centers})
             out = gnt_fused_apply(
                 gnt_params,
-                proj["packed"] if pack_mask else proj["rgb_feat"],
+                proj["rows"]
+                if fold_lerp
+                else (proj["packed"] if pack_mask else proj["rgb_feat"]),
                 proj["ray_diff"],
                 None if pack_mask else proj["mask"],
                 None if fold_pos else sinusoidal_embed(pts),

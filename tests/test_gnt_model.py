@@ -287,6 +287,36 @@ def test_quad_epipolar_matches_fused():
             np.moveaxis(np.asarray(vo[key]), 0, 2), np.asarray(quad[key]), err_msg=key
         )
 
+    # raw-rows sampling (fold_lerp input): manual lerp of rows by the frac
+    # weights must reproduce quad sampling exactly, masks identical
+    from pgdvs_tpu.models.gnt.projector import epipolar_sample_quad_raw
+
+    raw = epipolar_sample_quad_raw(pts, tgt, cams, qmaps)
+    fr = np.asarray(raw["frac"], np.float32)
+    rows = np.asarray(raw["rows"], np.float32)
+    c = rows.shape[-1] // 4
+    wx0 = np.maximum(0.0, 1.0 - np.abs(fr[..., 0:1]))
+    wx1 = np.maximum(0.0, 1.0 - np.abs(fr[..., 0:1] - 1.0))
+    wy0 = np.maximum(0.0, 1.0 - np.abs(fr[..., 1:2]))
+    wy1 = np.maximum(0.0, 1.0 - np.abs(fr[..., 1:2] - 1.0))
+    lerped = (
+        rows[..., :c] * (wx0 * wy0)
+        + rows[..., c : 2 * c] * (wx1 * wy0)
+        + rows[..., 2 * c : 3 * c] * (wx0 * wy1)
+        + rows[..., 3 * c :] * (wx1 * wy1)
+    )
+    np.testing.assert_allclose(
+        lerped[..., :-1], np.asarray(vo["rgb_feat"]), atol=2e-2
+    )
+    # the trailing channel is the RAW lerped invalid-mask value; the fused
+    # sampler thresholds it at 1e-3
+    np.testing.assert_array_equal(
+        lerped[..., -1:] > 1e-3, np.asarray(vo["mask_invalid"]) > 0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(raw["mask_inbound"]), np.asarray(vo["mask_inbound"])
+    )
+
     # pack_mask: "packed" must be exactly concat(bf16 rgb_feat, bf16 mask)
     pk = epipolar_sample_fused(
         pts, tgt, cams, qmaps, with_mask=True, quad=True, views_outer=True,
@@ -344,7 +374,7 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     cfg_bench = RenderConfig(
         **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8,
         pallas_kernel="mono3", pallas_fold_ray_diff=True,
-        pallas_fold_pos_code=True,
+        pallas_fold_pos_code=True, pallas_fold_lerp=True,
     )
 
     def render(cfg):
