@@ -150,10 +150,27 @@ def compute_track_pointcloud(
     _, top2 = jax.lax.top_k(-time_diff, 2)  # [N, 2] frame indices
 
     # per-frame samples at the tracked positions, then select the top-2
+    h_f, w_f = stack["rgbs"].shape[1], stack["rgbs"].shape[2]
+
     def sample_frame(t):
         xy = tracks[:, t]
-        rgb = bilinear_sample(stack["rgbs"][t], xy[:, 0], xy[:, 1])
-        depth = nearest_sample(stack["depths"][t], xy[:, 0], xy[:, 1])[:, 0]
+        # The reference rgb lookup normalizes by (w, h) yet passes
+        # align_corners=True (pgdvs_renderer_dyn_track.py:203-216), which
+        # shrinks the effective sample to u*(w-1)/w; its depth lookup keeps
+        # the grid_sample default align_corners=False (:223-229), i.e.
+        # samples at u - 0.5. Both quirks are replicated for output parity
+        # (A/B: tests/test_dyn_branch_ab.py). Border caveat: at u < 0.5 the
+        # reference's zero padding returns depth 0 (point collapses to the
+        # camera center) where this clamps to the edge depth — a
+        # measure-small region the trackers effectively never hit.
+        rgb = bilinear_sample(
+            stack["rgbs"][t],
+            xy[:, 0] * (w_f - 1) / w_f,
+            xy[:, 1] * (h_f - 1) / h_f,
+        )
+        depth = nearest_sample(
+            stack["depths"][t], xy[:, 0] - 0.5, xy[:, 1] - 0.5
+        )[:, 0]
         pts = uv_depth_to_world(
             xy,
             depth,

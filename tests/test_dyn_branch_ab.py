@@ -41,12 +41,19 @@ def _stub_missing_deps(torch):
     matching pytorch3d's contract (ascending SQUARED distances, self
     included at K+1)."""
     for name in (
-        "hydra", "hydra.utils", "cupy", "cv2", "trimesh",
+        "hydra", "hydra.utils", "cupy", "cv2", "trimesh", "torchvision",
+        "torchvision.utils",
         "pytorch3d", "pytorch3d.utils", "pytorch3d.ops",
         "pgdvs.utils.vis_utils", "pgdvs.utils.training",
+        # tracker interfaces pull in dlpack/model stacks the track-branch
+        # math never touches
+        "pgdvs.models.tapnet.interface", "pgdvs.models.cotracker.interface",
     ):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    sys.modules["pgdvs.models.tapnet.interface"].TAPNetInterface = None
+    sys.modules["pgdvs.models.cotracker.interface"].CoTrackerInterface = None
     hydra = sys.modules["hydra"]
     hydra.utils = sys.modules["hydra.utils"]
     hydra.utils.instantiate = lambda *a, **k: None
@@ -271,3 +278,159 @@ def test_dyn_pcl_matches_reference(same_time, remove_outlier, use_consistency):
         np.testing.assert_allclose(
             float(ours["nn_dist_thres"]), ref_thres, rtol=1e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# Track branch: compute_pcl_for_tgt vs compute_track_pointcloud
+# ---------------------------------------------------------------------------
+
+T_FWD = 3  # track frames per side; total stack = 2*T_FWD + 2
+
+
+def _track_scene():
+    import jax
+    rng = np.random.default_rng(11)
+    t_total = 2 * T_FWD + 2
+    n_q = 160
+
+    k4 = np.eye(4, dtype=np.float32)
+    k4[0, 0] = k4[1, 1] = 50.0
+    k4[0, 2], k4[1, 2] = W / 2.0, H / 2.0
+
+    def c2w(i):
+        m = np.eye(4, dtype=np.float32)
+        ang = 0.01 * (i - t_total / 2)
+        ca, sa = np.cos(ang), np.sin(ang)
+        m[0, 0], m[0, 2] = ca, sa
+        m[2, 0], m[2, 2] = -sa, ca
+        m[0, 3], m[1, 3] = 0.04 * i, -0.02 * i
+        return m
+
+    def smooth(lo, hi, ch):
+        small = rng.uniform(lo, hi, (t_total, H // 4, W // 4, ch))
+        return np.asarray(
+            jax.image.resize(jnp.asarray(small, jnp.float32),
+                             (t_total, H, W, ch), "linear")
+        )
+
+    frames = {
+        "rgbs": smooth(0, 1, 3),
+        "depths": smooth(2.0, 4.0, 1),
+        "cams": np.stack([_flat_cam(k4, c2w(i)) for i in range(t_total)]),
+        # distinct offsets so no |time - tgt| ties among visible frames
+        "times": (np.arange(t_total) * 0.1 + 0.013).astype(np.float32),
+    }
+    time_tgt = float(frames["times"][T_FWD] + 0.043)
+
+    # tracks inside [1, size-2]: avoids the reference's zero-padded
+    # depth-at-(u-0.5) border band, which this port intentionally clamps
+    tracks = rng.uniform(
+        [1.0, 1.0], [W - 2.0, H - 2.0], (n_q, t_total, 2)
+    ).astype(np.float32)
+    visibles = rng.uniform(size=(n_q, t_total)) > 0.4
+    # make a healthy subset invisible in both temporal slots
+    visibles[: n_q // 2, T_FWD : T_FWD + 2] = False
+
+    base_pcl = rng.uniform(-0.5, 0.5, (240, 3)).astype(np.float32) + np.array(
+        [0.0, 0.0, 3.0], np.float32
+    )
+    base_rgbs = rng.uniform(0, 1, (240, 3)).astype(np.float32)
+    base_thres = 0.35
+
+    return frames, time_tgt, tracks, visibles, base_pcl, base_rgbs, base_thres
+
+
+def test_track_pcl_matches_reference():
+    torch, RefDyn = _import_reference()
+    del RefDyn
+    from pgdvs.renderers.pgdvs_renderer_dyn_track import (
+        PGDVSDynamicTrackRenderer,
+    )
+
+    (frames, time_tgt, tracks, visibles, base_pcl, base_rgbs,
+     base_thres) = _track_scene()
+    t_total = 2 * T_FWD + 2
+    n_q = tracks.shape[0]
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))
+
+    render_cfg = types.SimpleNamespace(
+        dyn_pcl_outlier_knn=KNN,
+        dyn_pcl_outlier_std_thres=1.0,
+        dyn_pcl_track_track2base_thres_mult=4.0,
+    )
+
+    ren = object.__new__(PGDVSDynamicTrackRenderer)
+    with torch.no_grad():
+        ref_pcl, ref_rgbs = PGDVSDynamicTrackRenderer.compute_pcl_for_tgt(
+            ren,
+            data_for_track={
+                "idx_temporal_closest": [T_FWD, T_FWD + 1],
+                "idx_real_track": (
+                    list(range(T_FWD)) + list(range(T_FWD + 2, t_total))
+                ),
+                "time_for_track": t(frames["times"]),
+                "time_tgt": t(time_tgt),
+                "rgbs_for_track": t(frames["rgbs"]),
+                "depths_for_track": t(frames["depths"]),
+                "flat_cams_for_track": t(frames["cams"]),
+            },
+            query_pts=t(np.zeros((n_q, 3))),  # unused by the math
+            tracks=t(tracks),
+            track_visibles=torch.tensor(visibles),
+            render_cfg=render_cfg,
+            base_pcl_info={
+                "pcl": t(base_pcl),
+                "pcl_rgbs": t(base_rgbs),
+                "pcl_nn_dist_thres": torch.tensor(base_thres),
+            },
+            device="cpu",
+        )
+    ref_pcl = ref_pcl.numpy()
+    ref_rgbs = ref_rgbs.numpy()
+    # reference appends the base cloud after filtering — split it back off
+    assert ref_pcl.shape[0] >= base_pcl.shape[0]
+    n_track = ref_pcl.shape[0] - base_pcl.shape[0]
+    np.testing.assert_array_equal(ref_pcl[n_track:], base_pcl)
+    ref_pcl, ref_rgbs = ref_pcl[:n_track], ref_rgbs[:n_track]
+
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.dynamic_track import compute_track_pointcloud
+
+    cfg = RenderConfig(
+        dyn_pcl_outlier_knn=KNN,
+        dyn_pcl_outlier_std_thres=1.0,
+        dyn_pcl_track_track2base_thres_mult=4.0,
+        knn_tile=256,
+    )
+    real_track = np.ones(t_total, bool)
+    real_track[T_FWD : T_FWD + 2] = False
+    stack = {
+        "rgbs": jnp.asarray(frames["rgbs"]),
+        "depths": jnp.asarray(frames["depths"]),
+        "cams": jnp.asarray(frames["cams"]),
+        "times": jnp.asarray(frames["times"]),
+        "real_track": jnp.asarray(real_track),
+        "idx_temporal": (T_FWD, T_FWD + 1),
+        "k": T_FWD,
+    }
+    points, colors, keep = compute_track_pointcloud(
+        stack,
+        jnp.asarray(tracks),
+        jnp.asarray(visibles),
+        jnp.ones((n_q,), bool),
+        jnp.asarray(time_tgt),
+        jnp.asarray(base_pcl),
+        jnp.asarray(base_rgbs),
+        jnp.ones((base_pcl.shape[0],), bool),
+        jnp.asarray(base_thres),
+        cfg,
+    )
+    keep = np.asarray(keep)
+    assert n_track > 20, "test scene produced too few surviving track points"
+    assert int(keep.sum()) == n_track
+    np.testing.assert_allclose(
+        np.asarray(points)[keep], ref_pcl, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(colors)[keep], ref_rgbs, rtol=1e-4, atol=1e-5
+    )
