@@ -434,3 +434,41 @@ def test_track_pcl_matches_reference():
     np.testing.assert_allclose(
         np.asarray(colors)[keep], ref_rgbs, rtol=1e-4, atol=1e-5
     )
+
+
+def test_softsplat_metric_matches_reference():
+    """A/B the brightness-constancy metric (backwarp + clipped -alpha*l1)
+    against the reference's ``softsplat_img`` metric leg
+    (pgdvs_renderer_base.py:59-138) — pins the backwarp grid convention
+    (align_corners=True, zero padding, flow in pixel units)."""
+    torch, RefDyn = _import_reference()
+    del RefDyn
+    from pgdvs.renderers.pgdvs_renderer_base import PGDVSBaseRenderer
+
+    from pgdvs_tpu.kernels.softsplat import brightness_metric
+
+    rng = np.random.default_rng(3)
+    rgb1 = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    rgb2 = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    flow = rng.uniform(-5, 5, (H, W, 2)).astype(np.float32)
+    alpha = 100.0
+
+    ren = object.__new__(PGDVSBaseRenderer)
+    with torch.no_grad():
+        warped = PGDVSBaseRenderer.backwarp_for_softsplat_metric(
+            ren,
+            tenIn=torch.tensor(rgb2).permute(2, 0, 1)[None],
+            tenFlow=torch.tensor(flow).permute(2, 0, 1)[None],
+        )
+        l1 = torch.nn.functional.l1_loss(
+            torch.tensor(rgb1).permute(2, 0, 1)[None], warped,
+            reduction="none",
+        ).mean(dim=1, keepdim=True)
+        ref = (-alpha * l1).clip(-alpha, alpha)[0, 0].numpy()
+
+    ours = np.asarray(
+        brightness_metric(
+            jnp.asarray(rgb1), jnp.asarray(rgb2), jnp.asarray(flow), alpha
+        )
+    )[..., 0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
