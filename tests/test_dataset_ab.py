@@ -1,0 +1,191 @@
+"""NVIDIA eval dataset A/B vs the REFERENCE reader.
+
+Points the reference's ``NvidiaDynEvaluationDataset``
+(``/root/reference/pgdvs/datasets/nvidia_eval.py``) at the same fake
+on-disk scene the unit tests write (``test_datasets.build_fake_scene``) and
+asserts every shared contract key agrees with ``NvidiaEvalDataset``:
+pose parsing + LLFF axis flips, intrinsics construction, mono-camera
+round-robin, temporal/spatial/track source selection, the
+spatial-point-cloud depth range, flow occlusion thresholding, eval masks,
+and the dyn/static rgb decompositions.
+
+Scope notes: the fixture's images/depths/flows are already at the target
+resolution, so the resize legs (cv2 INTER_AREA / INTER_NEAREST, LANCZOS
+mono fallback) are NOT exercised — the cv2 stub asserts identity sizes so
+any accidental resize fails loudly rather than silently diverging. Zoe
+depth variants have their own unit tests (test_datasets.py).
+"""
+
+import pathlib
+import sys
+import types
+
+import numpy as np
+import PIL.Image
+import pytest
+
+REF = "/root/reference"
+
+
+def _ensure_stub(name):
+    if name not in sys.modules:
+        sys.modules[name] = types.ModuleType(name)
+    return sys.modules[name]
+
+
+def _stub_missing_deps():
+    for name in ("hydra", "hydra.utils", "cupy", "trimesh",
+                 "pgdvs.utils.vis_utils"):
+        _ensure_stub(name)
+    hydra = sys.modules["hydra"]
+    hydra.utils = sys.modules["hydra.utils"]
+    sys.modules["pgdvs.utils.vis_utils"].draw_cam_mesh = lambda *a, **k: None
+    sys.modules["trimesh"].PointCloud = None
+
+    # working cv2 shim: PIL-backed BGR imread + identity-size-only resize
+    cv2 = _ensure_stub("cv2")
+
+    def imread(path):
+        img = np.asarray(PIL.Image.open(path).convert("RGB"))
+        return img[:, :, ::-1].copy()  # BGR like cv2
+
+    def resize(img, dsize=None, interpolation=None):
+        w, h = dsize
+        assert img.shape[0] == h and img.shape[1] == w, (
+            "A/B fixture must keep all inputs at target resolution "
+            f"(got {img.shape} -> {(h, w)})"
+        )
+        return img
+
+    cv2.imread = imread
+    cv2.resize = resize
+    cv2.INTER_AREA = 3
+    cv2.INTER_NEAREST = 0
+
+
+def _import_reference():
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    _stub_missing_deps()
+    orig_mkdir = pathlib.Path.mkdir
+    pathlib.Path.mkdir = lambda self, *a, **k: None
+    try:
+        import pgdvs.datasets.nvidia_eval as ref_mod
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference modules unavailable: {e}")
+    finally:
+        pathlib.Path.mkdir = orig_mkdir
+    return torch, ref_mod
+
+
+# reference key -> ours (None = same name)
+KEY_MAP = {
+    "rgb_tgt": None,
+    "rgb_src_spatial": None,
+    "dyn_rgb_src_spatial": None,
+    "static_rgb_src_spatial": None,
+    "rgb_src_temporal": None,
+    "dyn_rgb_src_temporal": None,
+    "static_rgb_src_temporal": None,
+    "dyn_mask_src_spatial": None,
+    "dyn_mask_src_temporal": None,
+    "eval_mask": None,
+    "flow_fwd": None,
+    "flow_fwd_occ_mask": None,
+    "flow_bwd": None,
+    "flow_bwd_occ_mask": None,
+    "flat_cam_tgt": None,
+    "flat_cam_src_spatial": None,
+    "flat_cam_src_temporal": None,
+    "depth_src_spatial": None,
+    "depth_src_temporal": None,
+    "depth_range": None,
+    "time_tgt": None,
+    "time_src_temporal": None,
+    "seq_ids": None,
+    "rgb_src_temporal_track_fwd2tgt": "rgb_src_track_fwd",
+    "rgb_src_temporal_track_bwd2tgt": "rgb_src_track_bwd",
+    "dyn_mask_src_temporal_track_fwd2tgt": "dyn_mask_src_track_fwd",
+    "dyn_mask_src_temporal_track_bwd2tgt": "dyn_mask_src_track_bwd",
+    "depth_src_temporal_track_fwd2tgt": "depth_src_track_fwd",
+    "depth_src_temporal_track_bwd2tgt": "depth_src_track_bwd",
+    "flat_cam_src_temporal_track_fwd2tgt": "flat_cam_src_track_fwd",
+    "flat_cam_src_temporal_track_bwd2tgt": "flat_cam_src_track_bwd",
+    "time_src_temporal_track_fwd2tgt": "time_src_track_fwd",
+    "time_src_temporal_track_bwd2tgt": "time_src_track_bwd",
+    "n_actual_temporal_track_fwd2tgt": "n_actual_src_track_fwd",
+    "n_actual_temporal_track_bwd2tgt": "n_actual_src_track_bwd",
+}
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    from test_datasets import build_fake_scene
+
+    return build_fake_scene(tmp_path_factory.mktemp("nvidia_ab"))
+
+
+def test_nvidia_dataset_matches_reference(scene_root):
+    from test_datasets import H as FIX_H
+
+    torch, ref_mod = _import_reference()
+    # the reference hard-asserts the DynIBaR eval height; the fixture scene
+    # is smaller — patch the module constant (read at item time)
+    orig_tgt_h = ref_mod.TGT_HEIGHT
+    ref_mod.TGT_HEIGHT = FIX_H
+    try:
+        ref_ds = ref_mod.NvidiaDynEvaluationDataset(
+            data_root=str(scene_root),
+            raw_data_dir="raw",
+            depth_data_dir="depths",
+            mask_data_dir="flowmask",
+            flow_data_dir="flowmask",
+            max_hw=-1,
+            mode="eval",
+            scene_ids=["Balloon1"],
+            n_src_views_spatial=3,
+            n_src_views_temporal_track_one_side=2,
+        )
+
+        from pgdvs_tpu.data.nvidia_eval import NvidiaEvalDataset
+
+        ours_ds = NvidiaEvalDataset(
+            data_root=str(scene_root),
+            raw_data_dir="raw",
+            depth_data_dir="depths",
+            mask_data_dir="flowmask",
+            flow_data_dir="flowmask",
+            n_src_views_spatial=3,
+            n_src_views_temporal_track_one_side=2,
+            with_track_sources=True,
+            tgt_height=FIX_H,
+        )
+
+        assert len(ref_ds) == len(ours_ds) > 0
+
+        for idx in range(len(ref_ds)):
+            ref = ref_ds[idx]
+            ours = ours_ds[idx]
+
+            # same (frame, camera) enumeration order
+            assert ref["misc"]["tgt_frame_id"] == ours["misc"]["tgt_frame_id"]
+            assert ref["misc"]["tgt_cam_id"] == ours["misc"]["tgt_cam_id"]
+            assert int(ref["n_actual_temporal"][0]) == (
+                ours["misc"]["n_actual_temporal"]
+            )
+
+            for ref_key, our_key in KEY_MAP.items():
+                r = ref[ref_key]
+                if isinstance(r, torch.Tensor):
+                    r = r.numpy()
+                o = np.asarray(ours[our_key or ref_key])
+                assert r.shape == o.shape, (
+                    f"[{idx}] {ref_key}: {r.shape} vs {o.shape}"
+                )
+                np.testing.assert_allclose(
+                    o, r, rtol=1e-5, atol=1e-5,
+                    err_msg=f"[item {idx}] key {ref_key}",
+                )
+    finally:
+        ref_mod.TGT_HEIGHT = orig_tgt_h

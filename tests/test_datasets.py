@@ -18,7 +18,12 @@ N_FRAMES = 6
 @pytest.fixture(scope="module")
 def fake_scene(tmp_path_factory):
     """Synthesize a Balloon1-like scene directory from the analytic scene."""
-    root = tmp_path_factory.mktemp("nvidia_data")
+    return build_fake_scene(tmp_path_factory.mktemp("nvidia_data"))
+
+
+def build_fake_scene(root):
+    """Write the analytic scene to ``root`` in the exact NVIDIA on-disk
+    layout (also used by test_dataset_ab.py to drive the REFERENCE reader)."""
     scene = "Balloon1"
     dense = root / "raw" / scene / "dense"
     (dense / "mv_images").mkdir(parents=True)
