@@ -17,7 +17,7 @@ import PIL.Image
 
 from pgdvs_tpu.core.geometry import unproject_depth
 from pgdvs_tpu.data.llff import hwf_to_intrinsics4
-from pgdvs_tpu.data.nvidia_eval import TGT_HEIGHT, NvidiaEvalDataset
+from pgdvs_tpu.data.nvidia_eval import NvidiaEvalDataset
 
 
 class NvidiaPureGeoEvalDataset(NvidiaEvalDataset):
@@ -30,14 +30,24 @@ class NvidiaPureGeoEvalDataset(NvidiaEvalDataset):
         all_hwf, all_c2w, _ = self._cams(scene)
         n_frames = all_hwf.shape[0]
 
-        # eval resolution from the mono images dir (images_<w>x288)
+        # eval resolution from the mono images dir (images_<w>x<tgt_height>);
+        # the reference hard-requires this dir (nvidia_eval_pure_geo.py:
+        # 184-191) — we fall back to the mv_images mono frames, deriving the
+        # width from the first frame's aspect ratio
         scene_dir = self.raw_dir / scene / "dense"
-        mono_dirs = list(pathlib.Path(scene_dir).glob(f"images_*x{TGT_HEIGHT}"))
+        mono_dirs = list(
+            pathlib.Path(scene_dir).glob(f"images_*x{self.tgt_height}")
+        )
         if mono_dirs:
             w, h = map(int, mono_dirs[0].name.split("images_")[1].split("x"))
             mono_dir = mono_dirs[0]
         else:
-            h, w, mono_dir = TGT_HEIGHT, None, None
+            mono_dir = None
+            first = np.array(
+                PIL.Image.open(self._mono_img_path(scene, 0))
+            )
+            h = self.tgt_height
+            w = int(round(first.shape[1] * h / first.shape[0]))
 
         st_pcl = np.zeros((0, 3), np.float32)
         st_rgb = np.zeros((0, 3), np.float32)

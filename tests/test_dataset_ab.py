@@ -123,7 +123,12 @@ KEY_MAP = {
 def scene_root(tmp_path_factory):
     from test_datasets import build_fake_scene
 
-    return build_fake_scene(tmp_path_factory.mktemp("nvidia_ab"))
+    # pose_jitter breaks the default camera path's zero-baseline pairs whose
+    # pixel-center-exact projections make the pure-geo coverage truncation
+    # an f32 coin flip (see build_fake_scene docstring)
+    return build_fake_scene(
+        tmp_path_factory.mktemp("nvidia_ab"), pose_jitter=0.013
+    )
 
 
 def test_nvidia_dataset_matches_reference(scene_root):
@@ -189,3 +194,51 @@ def test_nvidia_dataset_matches_reference(scene_root):
                 )
     finally:
         ref_mod.TGT_HEIGHT = orig_tgt_h
+
+
+def test_pure_geo_static_pcl_matches_reference(scene_root):
+    """A/B the whole-video static point-cloud aggregation
+    (nvidia_eval_pure_geo.py:183-277): per-frame static unprojection with
+    projection-coverage skip. Scope: all scene points lie in front of every
+    camera — the reference projects without a z>0 filter (behind-camera
+    points can spuriously mark coverage via sign-flipped uv), which this
+    port deliberately filters."""
+    from test_datasets import H as FIX_H
+
+    torch, ref_mod = _import_reference()
+    del torch
+    import pgdvs.datasets.nvidia_eval_pure_geo as ref_geo_mod
+
+    orig = (ref_mod.TGT_HEIGHT, ref_geo_mod.TGT_HEIGHT)
+    ref_mod.TGT_HEIGHT = FIX_H
+    ref_geo_mod.TGT_HEIGHT = FIX_H
+    try:
+        ref_ds = ref_geo_mod.NvidiaDynPureGeoEvaluationDataset(
+            data_root=str(scene_root),
+            raw_data_dir="raw",
+            depth_data_dir="depths",
+            mask_data_dir="flowmask",
+            flow_data_dir="flowmask",
+            max_hw=-1,
+            mode="eval",
+            scene_ids=["Balloon1"],
+        )
+        ref_pcl = ref_ds._aggregate_static_pcl("Balloon1")
+
+        from pgdvs_tpu.data.nvidia_pure_geo import NvidiaPureGeoEvalDataset
+
+        ours_ds = NvidiaPureGeoEvalDataset(
+            data_root=str(scene_root),
+            raw_data_dir="raw",
+            depth_data_dir="depths",
+            mask_data_dir="flowmask",
+            flow_data_dir="flowmask",
+            n_src_views_spatial=3,
+            tgt_height=FIX_H,
+        )
+        ours_pcl = ours_ds._aggregate_static_pcl("Balloon1")
+
+        assert ours_pcl.shape == ref_pcl.shape
+        np.testing.assert_allclose(ours_pcl, ref_pcl, rtol=1e-5, atol=1e-5)
+    finally:
+        ref_mod.TGT_HEIGHT, ref_geo_mod.TGT_HEIGHT = orig

@@ -21,9 +21,14 @@ def fake_scene(tmp_path_factory):
     return build_fake_scene(tmp_path_factory.mktemp("nvidia_data"))
 
 
-def build_fake_scene(root):
+def build_fake_scene(root, pose_jitter=0.0):
     """Write the analytic scene to ``root`` in the exact NVIDIA on-disk
-    layout (also used by test_dataset_ab.py to drive the REFERENCE reader)."""
+    layout (also used by test_dataset_ab.py to drive the REFERENCE reader).
+
+    ``pose_jitter`` adds deterministic per-frame translation offsets: the
+    default camera path is symmetric (y(i) == y(n-i)), which creates
+    zero-baseline camera pairs whose projections sit exactly on pixel
+    centers — an f32 knife edge for the pure-geo coverage truncation."""
     scene = "Balloon1"
     dense = root / "raw" / scene / "dense"
     (dense / "mv_images").mkdir(parents=True)
@@ -42,6 +47,10 @@ def build_fake_scene(root):
     k = synthetic.intrinsics(H, W)
     times = np.linspace(0.0, 1.0, N_FRAMES)
     poses = [synthetic.camera_pose(i, N_FRAMES) for i in range(N_FRAMES)]
+    if pose_jitter:
+        rng_p = np.random.default_rng(77)
+        for p in poses:
+            p[:2, 3] += pose_jitter * rng_p.uniform(-1, 1, 2)
     frames = [
         synthetic.render_frame(H, W, poses[i], times[i]) for i in range(N_FRAMES)
     ]
@@ -58,6 +67,11 @@ def build_fake_scene(root):
         hwf = np.array([[H], [W], [k[0, 0]]])
         rows.append(np.concatenate([llff, hwf], axis=1).ravel().tolist() + [0.1, 10.0])
     np.save(dense / "poses_bounds_cvd.npy", np.asarray(rows))
+
+    # mono video dir at eval resolution (required by the reference pure-geo
+    # aggregation, nvidia_eval_pure_geo.py:184-191)
+    mono_dir = dense / f"images_{W}x{H}"
+    mono_dir.mkdir()
 
     for i in range(N_FRAMES):
         frame_dir = dense / "mv_images" / f"{i:05d}"
@@ -77,7 +91,16 @@ def build_fake_scene(root):
             PIL.Image.fromarray(
                 (fr["dyn_mask"][..., 0] * 255).astype(np.uint8)
             ).save(mask_frame_dir / f"cam{cam + 1:02d}.png")
-        np.save(depth_dir / f"{i:05d}.npy", 1.0 / f["depth"][..., 0])
+        PIL.Image.fromarray((f["rgb"] * 255).astype(np.uint8)).save(
+            mono_dir / f"{i:05d}.png"
+        )
+        # 0.1% depth jitter: the analytic planar scene + translation-only rig
+        # otherwise projects points EXACTLY onto pixel centers, putting the
+        # pure-geo coverage truncation (astype(int)) on an f32 knife edge
+        jit = 1.0 + 1e-3 * np.random.default_rng(100 + i).uniform(
+            -1, 1, f["depth"].shape[:2]
+        )
+        np.save(depth_dir / f"{i:05d}.npy", 1.0 / (f["depth"][..., 0] * jit))
         PIL.Image.fromarray((f["dyn_mask"][..., 0] > 0)).save(
             mask_dir / f"{i:05d}_final.png"
         )
