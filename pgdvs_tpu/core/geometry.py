@@ -56,12 +56,20 @@ def rotmat_to_qvec(rot: np.ndarray) -> np.ndarray:
     return qvec
 
 
-def quat_slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
-    """Spherical linear interpolation between unit quaternions ([w,x,y,z])."""
+def quat_slerp(
+    q0: np.ndarray, q1: np.ndarray, t: float, shortest: bool = True
+) -> np.ndarray:
+    """Spherical linear interpolation between unit quaternions ([w,x,y,z]).
+
+    ``shortest=False`` reproduces the reference's ``interpolate``
+    (``geometry.py:381-406``), which does NOT sign-flip antipodal pairs and
+    so rotates the long way when the quaternion dot is negative (only
+    reachable for consecutive poses more than 180 deg apart).
+    """
     q0 = q0 / np.linalg.norm(q0)
     q1 = q1 / np.linalg.norm(q1)
     dot = float(np.dot(q0, q1))
-    if dot < 0.0:  # take the short way around
+    if shortest and dot < 0.0:  # take the short way around
         q1 = -q1
         dot = -dot
     if dot > 1.0 - 1e-9:  # nearly parallel: lerp + renormalize
@@ -82,9 +90,14 @@ def linear_pose_interp(
     """Interpolate between two rigid poses: lerp translation, slerp rotation.
 
     Same contract as the reference's ``linear_pose_interp``
-    (``geometry.py:468-517``): returns (rot 3x3, translation 3).
+    (``geometry.py:468-517``): returns (rot 3x3, translation 3). Matches it
+    exactly, including the no-shortest-path slerp (A/B:
+    tests/test_trajectory_ab.py).
     """
-    q = quat_slerp(rotmat_to_qvec(rot_a), rotmat_to_qvec(rot_b), float(t))
+    q = quat_slerp(
+        rotmat_to_qvec(rot_a), rotmat_to_qvec(rot_b), float(t),
+        shortest=False,
+    )
     trans = np.asarray(trans_a) + float(t) * (np.asarray(trans_b) - np.asarray(trans_a))
     return qvec_to_rotmat(q), trans
 
