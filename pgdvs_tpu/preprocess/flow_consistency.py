@@ -27,8 +27,12 @@ def flow_roundtrip(flow_fwd, flow_bwd):
       coord_diff: [H, W, 2] start - roundtrip coordinates;
       err: [H, W] L2 norm of coord_diff.
 
-    Note: the reference samples the backward flow with torch grid_sample
-    align_corners=False, i.e. at (uv - 0.5) in pixel units.
+    Note: the reference's ``bilinear_sampler`` (RAFT's, common.py:211-225)
+    normalizes pixel coords by (W-1, H-1) and samples with torch
+    grid_sample ``align_corners=True`` — i.e. it reads the backward flow
+    at exactly the advected pixel coordinate ``u`` with zero padding
+    (NOT at ``u - 0.5``; that is the align_corners=False convention the
+    dynamic renderer uses). A/B: tests/test_flow_consistency_ab.py.
     """
     h, w = flow_fwd.shape[:2]
     gy, gx = jnp.meshgrid(
@@ -38,9 +42,7 @@ def flow_roundtrip(flow_fwd, flow_bwd):
     )
     coords0 = jnp.stack([gx, gy], axis=-1)
     coords1 = coords0 + flow_fwd
-    bwd_at_1 = bilinear_sample(
-        flow_bwd, coords1[..., 0] - 0.5, coords1[..., 1] - 0.5
-    )
+    bwd_at_1 = bilinear_sample(flow_bwd, coords1[..., 0], coords1[..., 1])
     coords2 = coords1 + bwd_at_1
     coord_diff = coords0 - coords2
     err = jnp.linalg.norm(coord_diff, axis=-1)
