@@ -94,6 +94,13 @@ class IPhoneParser:
             self.metadata = json.load(f)
         with open(self.dir / "dataset.json") as f:
             self.dataset = json.load(f)
+        # the DyCheck capture format stores the processing factor in
+        # extra.json (dycheck_utils.py:246-253); it overrides the arg so the
+        # reader matches whatever resolution the capture ships
+        extra_f = self.dir / "extra.json"
+        if extra_f.exists():
+            with open(extra_f) as f:
+                self.factor = int(json.load(f)["factor"])
 
     def load_split(self, split: str):
         with open(self.dir / "splits" / f"{split}.json") as f:
@@ -145,11 +152,21 @@ class DyCheckIPhoneEvalDataset:
         flow_data_dir=None,
         flow_consist_thres: float = 1.0,
         spatial_src_view_type: str = "clustered",
-        n_src_views_spatial_cluster: int = 20,
+        n_src_views_spatial_cluster=None,
+        n_src_views_temporal_track_one_side: int = 5,
+        with_track_sources: bool = False,
     ):
         self.root = pathlib.Path(data_root)
         self.n_spatial = n_src_views_spatial
-        self.n_clusters = n_src_views_spatial_cluster
+        # reference default: cluster count == n_src_views_spatial
+        # (dycheck_iphone_eval.py:70-73, configs/dataset/combined.yaml:56)
+        self.n_clusters = (
+            n_src_views_spatial
+            if n_src_views_spatial_cluster is None
+            else n_src_views_spatial_cluster
+        )
+        self.n_track = n_src_views_temporal_track_one_side
+        self.with_track_sources = with_track_sources
         self.spatial_src_view_type = spatial_src_view_type
         self.mask_dir = pathlib.Path(mask_data_dir) if mask_data_dir else None
         self.flow_dir = pathlib.Path(flow_data_dir) if flow_data_dir else None
@@ -224,12 +241,29 @@ class DyCheckIPhoneEvalDataset:
             chosen = []
             for label in np.argsort(dists)[: self.n_spatial]:
                 members = np.nonzero(km.labels_ == label)[0]
+                # temporally-closest member; like the reference, frame INDEX
+                # stands in for time (train times are consecutive, so index
+                # == time - min_time — dycheck_iphone_eval.py:385-393)
                 t_dist = np.abs(members.astype(np.float32) - float(tgt_time))
                 chosen.append(int(members[np.argmin(t_dist)]))
             return sorted(chosen)
-        # plain nearest-camera fallback
-        d = np.linalg.norm(c2ws[:, :3, 3] - tgt_c2w[:3, 3], axis=1)
-        return sorted(np.argsort(d)[: self.n_spatial].tolist())
+        from pgdvs_tpu.core.geometry import sort_poses_wrt_ref
+
+        if self.spatial_src_view_type == "closest_wo_temporal":
+            order = sort_poses_wrt_ref(tgt_c2w, c2ws, metric="dist_matrix")
+            return sorted(np.asarray(order)[: self.n_spatial].tolist())
+        if self.spatial_src_view_type == "closest_with_temporal":
+            # pre-filter to the 4*n temporally-nearest frames, then rank by
+            # camera distance (dycheck_iphone_eval.py:330-357)
+            t_dist = np.abs(
+                np.arange(len(names), dtype=np.float32) - float(tgt_time)
+            )
+            pool = np.argsort(t_dist)[: self.n_spatial * 4]
+            order = sort_poses_wrt_ref(
+                tgt_c2w, c2ws[pool], metric="dist_matrix"
+            )
+            return sorted(pool[np.asarray(order)][: self.n_spatial].tolist())
+        raise ValueError(self.spatial_src_view_type)
 
     def __getitem__(self, index):
         scene, tgt_name, tgt_time, tgt_cam = self.items[index]
@@ -242,15 +276,21 @@ class DyCheckIPhoneEvalDataset:
         h, w = rgb_tgt.shape[:2]
         covis = p.load_covisible(tgt_name)
 
-        # temporal sources: train frames at adjacent time ids
+        # temporal sources (reference semantics, dycheck_iphone_eval.py:
+        # 229-262): a target whose time is IN the train video uses that same
+        # frame alone (the multi-camera rig shares timestamps); otherwise
+        # the nearest older + nearest newer train times
         tids = np.asarray(time_ids)
         temporal_idx = []
-        for cand in (tgt_time - 1, tgt_time + 1, tgt_time):
-            hits = np.nonzero(tids == cand)[0]
-            if hits.size and int(hits[0]) not in temporal_idx:
-                temporal_idx.append(int(hits[0]))
-            if len(temporal_idx) == 2:
-                break
+        if tgt_time in tids:
+            temporal_idx.append(int(np.nonzero(tids == tgt_time)[0][0]))
+        else:
+            older = tids[tids < tgt_time]
+            newer = tids[tids > tgt_time]
+            if older.size:
+                temporal_idx.append(int(np.nonzero(tids == older.max())[0][0]))
+            if newer.size:
+                temporal_idx.append(int(np.nonzero(tids == newer.min())[0][0]))
         n_actual = len(temporal_idx)
         if n_actual == 1:
             temporal_idx.append(temporal_idx[0])
@@ -315,7 +355,9 @@ class DyCheckIPhoneEvalDataset:
                 & (uv[:, 1] >= 0)
                 & (uv[:, 1] <= h - 1)
             )
-            uvi = np.round(uv[ok]).astype(int)
+            # the reference TRUNCATES here, not rounds: it casts to int
+            # before its (no-op) round (dycheck_iphone_eval.py:515-517)
+            uvi = uv[ok].astype(int)
             zs = cam_static[ok, 2]
             depth_range[uvi[:, 1], uvi[:, 0], 0] = zs - 1e-4
             depth_range[uvi[:, 1], uvi[:, 0], 1] = zs + 1e-4
@@ -331,7 +373,42 @@ class DyCheckIPhoneEvalDataset:
             [[h, w], tgt_camera.intrin4.ravel(), tgt_c2w.ravel()]
         ).astype(np.float32)
 
+        track = {}
+        if self.with_track_sources:
+            # +-K tracking frames clipped to the train time range
+            # (dycheck_iphone_eval.py:266-306). Slot layout note: this
+            # framework's canonical padding is LEFT-aligned actual frames
+            # (like the reference's NVIDIA reader); the reference's DyCheck
+            # reader right-aligns the fwd side — same frames, same counts,
+            # different slot order (A/B reorders before comparing).
+            min_t, max_t = int(tids.min()), int(tids.max())
+            t0 = int(tids[temporal_idx[0]])
+            t1 = int(tids[temporal_idx[1]])
+            fwd_times = list(range(max(min_t, t0 - self.n_track), t0))
+            bwd_times = list(range(t1 + 1, min(max_t + 1, t1 + 1 + self.n_track)))
+
+            def to_idx(ts):
+                return [int(np.nonzero(tids == t)[0][0]) for t in ts]
+
+            for name_, ts, fill in (
+                ("fwd", fwd_times, temporal_idx[0]),
+                ("bwd", bwd_times, temporal_idx[1]),
+            ):
+                idxs = to_idx(ts) + [fill] * (self.n_track - len(ts))
+                r, m, d, c, _, _ = bundle(idxs)
+                track[f"rgb_src_track_{name_}"] = r
+                track[f"dyn_mask_src_track_{name_}"] = m
+                track[f"depth_src_track_{name_}"] = d
+                track[f"flat_cam_src_track_{name_}"] = c
+                track[f"time_src_track_{name_}"] = np.array(
+                    [time_ids[i] for i in idxs], np.float32
+                )
+                track[f"n_actual_src_track_{name_}"] = np.array(
+                    [len(ts)], np.int64
+                )
+
         return {
+            **track,
             "seq_ids": np.array(
                 [tgt_time, *spatial_idx, *temporal_idx], np.int64
             ),
@@ -358,7 +435,9 @@ class DyCheckIPhoneEvalDataset:
             "time_src_temporal": np.array(
                 [time_ids[i] for i in temporal_idx], np.float32
             ),
-            "eval_mask": np.repeat(covis[..., None], 3, axis=-1),
+            # [H, W, 1] like the reference's DyCheck reader (the NVIDIA one
+            # emits 3 channels); the evaluator uses misc.covisible_mask
+            "eval_mask": covis[..., None],
             "misc": {
                 "scene_id": scene,
                 "tgt_frame_name": tgt_name,
