@@ -59,17 +59,23 @@ class NvidiaVisDataset(NvidiaEvalDataset):
         scenes = sorted({s for s, *_ in self.items})
         self.traj = []
         for scene in scenes:
-            all_hwf, all_c2w, _ = self._cams(scene)
+            all_hwf, all_c2w, bds = self._cams(scene)
             n = all_hwf.shape[0]
             times = np.linspace(
                 max(0, vis_center_time - vis_time_interval),
                 min(n - 2, vis_center_time + vis_time_interval),
                 n_render_frames,
             )
+            # bullet-time amplitude is normalized by the scene's near-bound
+            # scale, like NSFF's bd_factor rescale (nvidia_vis.py:207-217 —
+            # FLAG_RESCALE_POSES is False so the scale moves into the
+            # translation amplitude instead of the poses)
+            bt_disp_sc = 1.0 / (np.percentile(bds[:, 0], 5) * 0.9)
             bt = create_bt_poses(
                 all_hwf[0, 2],
                 num_frames=max(1, n_render_frames // N_BT_REPS),
                 max_disp=vis_bt_max_disp,
+                sc=bt_disp_sc,
             )
             bt = bt * (N_BT_REPS + 1)
             for i, t in enumerate(times):
@@ -115,8 +121,10 @@ class NvidiaVisDataset(NvidiaEvalDataset):
                 max(0, temporal[0] - N_CAMS), min(n_frames, temporal[1] + N_CAMS)
             )
         )
-        d = np.linalg.norm(all_c2w[pool][:, :3, 3] - tgt_c2w[:3, 3], axis=-1)
-        spatial = sorted([pool[i] for i in np.argsort(d)[: self.n_spatial]])
+        from pgdvs_tpu.core.geometry import sort_poses_wrt_ref
+
+        order = sort_poses_wrt_ref(tgt_c2w, all_c2w[pool], metric="dist")
+        spatial = sorted([pool[i] for i in np.asarray(order)[: self.n_spatial]])
 
         # working resolution from the first temporal source frame
         import PIL.Image
@@ -154,7 +162,9 @@ class NvidiaVisDataset(NvidiaEvalDataset):
         flow_fwd, flow_fwd_occ = self._read_flow(scene, temporal[0], temporal[1], h, w)
         flow_bwd, flow_bwd_occ = self._read_flow(scene, temporal[1], temporal[0], h, w)
 
-        k_tgt = hwf_to_intrinsics4(all_hwf[temporal[0]], tgt_shape=(h, w))
+        # the reference builds the virtual camera's K from frame 0's hwf
+        # (nvidia_vis.py:469-471)
+        k_tgt = hwf_to_intrinsics4(all_hwf[0], tgt_shape=(h, w))
         flat_cam_tgt = np.concatenate(
             [[h, w], k_tgt.ravel(), tgt_c2w.ravel()]
         ).astype(np.float32)
@@ -187,4 +197,17 @@ class NvidiaVisDataset(NvidiaEvalDataset):
                 "tgt_time": tgt_time,
                 "n_actual_temporal": n_actual_temporal,
             },
+            # track windows reuse the eval-layout helper; note the
+            # reference's vis reader ALSO includes temporal[1] itself as the
+            # first bwd track frame (a K+1-slot quirk, nvidia_vis.py:
+            # 399-410) — outcome-neutral for the track renderer, since
+            # points visible there are excluded upstream, so the canonical
+            # K-slot layout is kept
+            **(
+                self._track_sources(
+                    scene, temporal, tgt_time, n_frames, all_c2w, all_hwf, h, w
+                )
+                if self.with_track_sources
+                else {}
+            ),
         }

@@ -242,3 +242,124 @@ def test_pure_geo_static_pcl_matches_reference(scene_root):
         np.testing.assert_allclose(ours_pcl, ref_pcl, rtol=1e-5, atol=1e-5)
     finally:
         ref_mod.TGT_HEIGHT, ref_geo_mod.TGT_HEIGHT = orig
+
+
+VIS_KEYS = [
+    "rgb_src_spatial", "dyn_rgb_src_spatial", "static_rgb_src_spatial",
+    "rgb_src_temporal", "dyn_rgb_src_temporal", "static_rgb_src_temporal",
+    "dyn_mask_src_spatial", "dyn_mask_src_temporal",
+    "flow_fwd", "flow_fwd_occ_mask", "flow_bwd", "flow_bwd_occ_mask",
+    "flat_cam_tgt", "flat_cam_src_spatial", "flat_cam_src_temporal",
+    # (no depth_src_spatial: the reference vis dict omits it; ours keeps it
+    # for contract uniformity)
+    "depth_src_temporal", "depth_range",
+    "time_tgt", "time_src_temporal",
+]
+VIS_TRACK_FWD = {
+    "rgb_src_temporal_track_fwd2tgt": "rgb_src_track_fwd",
+    "dyn_mask_src_temporal_track_fwd2tgt": "dyn_mask_src_track_fwd",
+    "depth_src_temporal_track_fwd2tgt": "depth_src_track_fwd",
+    "flat_cam_src_temporal_track_fwd2tgt": "flat_cam_src_track_fwd",
+    "time_src_temporal_track_fwd2tgt": "time_src_track_fwd",
+}
+VIS_TRACK_BWD = {
+    "rgb_src_temporal_track_bwd2tgt": "rgb_src_track_bwd",
+    "dyn_mask_src_temporal_track_bwd2tgt": "dyn_mask_src_track_bwd",
+    "depth_src_temporal_track_bwd2tgt": "depth_src_track_bwd",
+    "flat_cam_src_temporal_track_bwd2tgt": "flat_cam_src_track_bwd",
+    "time_src_temporal_track_bwd2tgt": "time_src_track_bwd",
+}
+
+
+def test_nvidia_vis_dataset_matches_reference(scene_root):
+    """A/B the visualization trajectory items: slerp+lerp interpolated
+    virtual cameras composed with scene-scaled bullet-time offsets, the
+    fractional-time temporal/spatial source selection, and the vis
+    contract. The reference's bwd track window additionally includes
+    temporal[1] itself as slot 0 (a K+1-slot quirk of nvidia_vis.py:399-410
+    absent from its eval reader, outcome-neutral downstream); the
+    comparison drops that slot and re-pads."""
+    from test_datasets import H as FIX_H
+
+    torch, ref_mod = _import_reference()
+    # the reference quaternion slerp uses np.mat (removed in NumPy 2.0)
+    if not hasattr(np, "mat"):
+        np.mat = np.asmatrix
+    import pgdvs.datasets.nvidia_vis as ref_vis_mod
+
+    n_track = 2
+    orig = (ref_mod.TGT_HEIGHT, ref_vis_mod.TGT_HEIGHT)
+    ref_mod.TGT_HEIGHT = FIX_H
+    ref_vis_mod.TGT_HEIGHT = FIX_H
+    try:
+        ref_ds = ref_vis_mod.NvidiaDynVisualizationDataset(
+            data_root=str(scene_root),
+            raw_data_dir="raw",
+            depth_data_dir="depths",
+            mask_data_dir="flowmask",
+            flow_data_dir="flowmask",
+            max_hw=-1,
+            mode="vis",
+            scene_ids=["Balloon1"],
+            n_src_views_spatial=3,
+            n_src_views_temporal_track_one_side=n_track,
+            vis_center_time=2,
+            n_render_frames=8,
+            vis_time_interval=2,
+            vis_bt_max_disp=32,
+        )
+
+        from pgdvs_tpu.data.nvidia_vis import NvidiaVisDataset
+
+        ours_ds = NvidiaVisDataset(
+            data_root=str(scene_root),
+            raw_data_dir="raw",
+            depth_data_dir="depths",
+            mask_data_dir="flowmask",
+            flow_data_dir="flowmask",
+            n_src_views_spatial=3,
+            n_src_views_temporal_track_one_side=n_track,
+            with_track_sources=True,
+            tgt_height=FIX_H,
+            vis_center_time=2,
+            n_render_frames=8,
+            vis_time_interval=2,
+            vis_bt_max_disp=32,
+        )
+
+        assert len(ref_ds) == len(ours_ds) == 8
+
+        for idx in range(len(ref_ds)):
+            ref = ref_ds[idx]
+            ours = ours_ds[idx]
+            for key in VIS_KEYS:
+                r = ref[key]
+                if isinstance(r, torch.Tensor):
+                    r = r.numpy()
+                o = np.asarray(ours[key])
+                assert r.shape == o.shape, f"[{idx}] {key}: {r.shape} vs {o.shape}"
+                np.testing.assert_allclose(
+                    o, r, rtol=1e-4, atol=1e-4, err_msg=f"[item {idx}] {key}"
+                )
+            for rk, ok in VIS_TRACK_FWD.items():
+                r = ref[rk]
+                if isinstance(r, torch.Tensor):
+                    r = r.numpy()
+                np.testing.assert_allclose(
+                    np.asarray(ours[ok]), r, rtol=1e-4, atol=1e-4,
+                    err_msg=f"[item {idx}] {rk}",
+                )
+            for rk, ok in VIS_TRACK_BWD.items():
+                r = ref[rk]
+                if isinstance(r, torch.Tensor):
+                    r = r.numpy()
+                # drop the quirk slot 0 (== temporal[1]) and re-pad with it
+                r = np.concatenate(
+                    [r[1:]] + [r[:1]] * (n_track - (r.shape[0] - 1)), axis=0
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ours[ok]), r, rtol=1e-4, atol=1e-4,
+                    err_msg=f"[item {idx}] {rk}",
+                )
+    finally:
+        ref_mod.TGT_HEIGHT, ref_vis_mod.TGT_HEIGHT = orig

@@ -48,9 +48,17 @@ def build_fake_scene(root, pose_jitter=0.0):
     times = np.linspace(0.0, 1.0, N_FRAMES)
     poses = [synthetic.camera_pose(i, N_FRAMES) for i in range(N_FRAMES)]
     if pose_jitter:
+        from scipy.spatial.transform import Rotation
+
         rng_p = np.random.default_rng(77)
         for p in poses:
             p[:2, 3] += pose_jitter * rng_p.uniform(-1, 1, 2)
+            # tiny rotations too: identical rotations hit a broken
+            # theta==0 path in the reference's quaternion slerp, which
+            # real capture poses never trigger
+            p[:3, :3] = Rotation.from_rotvec(
+                pose_jitter * rng_p.uniform(-1, 1, 3)
+            ).as_matrix()
     frames = [
         synthetic.render_frame(H, W, poses[i], times[i]) for i in range(N_FRAMES)
     ]
@@ -85,8 +93,10 @@ def build_fake_scene(root, pose_jitter=0.0):
         # camera for frame i is simply pose i, plus one extra viewpoint
         for cam in {i % N_CAMS, (i + 1) % N_FRAMES}:
             fr = synthetic.render_frame(H, W, poses[cam], times[i])
+            # .jpg like the real DynIBaR data: the reference vis reader
+            # hardcodes the extension (nvidia_vis.py:666)
             PIL.Image.fromarray((fr["rgb"] * 255).astype(np.uint8)).save(
-                frame_dir / f"cam{cam + 1:02d}.png"
+                frame_dir / f"cam{cam + 1:02d}.jpg", quality=95
             )
             PIL.Image.fromarray(
                 (fr["dyn_mask"][..., 0] * 255).astype(np.uint8)
