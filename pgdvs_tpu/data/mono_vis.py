@@ -36,10 +36,14 @@ class MonoVisDataset:
         vis_bt_max_disp: float = 64.0,
         n_src_views_spatial: int = 10,
         flow_consist_thres: float = 1.0,
+        n_src_views_temporal_track_one_side: int = 5,
+        with_track_sources: bool = False,
     ):
         self.root = pathlib.Path(data_root)
         self.n_spatial = n_src_views_spatial
         self.flow_consist_thres = flow_consist_thres
+        self.n_track = n_src_views_temporal_track_one_side
+        self.with_track_sources = with_track_sources
         self.traj = []
         self._scene_cache = {}
 
@@ -150,11 +154,12 @@ class MonoVisDataset:
         if n_actual == 1:
             temporal.append(temporal[0])
 
-        pool = list(range(max(0, temporal[0] - 12), min(n, temporal[1] + 12)))
-        d = np.linalg.norm(
-            np.stack([c2ws[i][:3, 3] for i in pool]) - tgt_c2w[:3, 3], axis=-1
-        )
-        spatial = sorted([pool[i] for i in np.argsort(d)[: self.n_spatial]])
+        # the mono reference ranks ALL frames by camera distance (no +-12
+        # pool, unlike nvidia_vis) — mono_vis.py:341-349
+        from pgdvs_tpu.core.geometry import sort_poses_wrt_ref
+
+        order = sort_poses_wrt_ref(tgt_c2w, np.stack(c2ws), metric="dist")
+        spatial = sorted(np.asarray(order)[: self.n_spatial].tolist())
 
         def bundle(ids):
             rgbs, masks, depths, cams = [], [], [], []
@@ -200,8 +205,9 @@ class MonoVisDataset:
         flow_fwd, fo = self._read_flow(scene, names, temporal[0], temporal[1], h, w)
         flow_bwd, bo = self._read_flow(scene, names, temporal[1], temporal[0], h, w)
 
+        # virtual camera reuses frame 0's K (mono_vis.py:369-373)
         flat_cam_tgt = np.concatenate(
-            [[h, w], ks[temporal[0]].ravel(), tgt_c2w.ravel()]
+            [[h, w], ks[0].ravel(), tgt_c2w.ravel()]
         ).astype(np.float32)
 
         return {
@@ -232,4 +238,42 @@ class MonoVisDataset:
                 "tgt_time": tgt_time,
                 "n_actual_temporal": n_actual,
             },
+            # +-K track windows, left-aligned canonical layout (the
+            # reference's bwd window also includes temporal[1] itself as
+            # slot 0 — the same K+1-slot quirk as nvidia_vis, outcome-
+            # neutral downstream)
+            **(self._track_sources(scene, temporal, tgt_time, n, bundle)
+               if self.with_track_sources else {}),
         }
+
+    def _track_sources(self, scene, temporal, tgt_time, n_frames, bundle):
+        _, _, names = self._scene_cams(scene)
+        # windows exist only when the virtual time has room on that side
+        # (reference guards on tgt_time, not on temporal[0/1])
+        fwd_ids = (
+            list(range(max(0, temporal[0] - self.n_track), temporal[0]))
+            if tgt_time > 0
+            else []
+        )
+        bwd_ids = (
+            list(
+                range(
+                    temporal[1] + 1, min(n_frames, temporal[1] + 1 + self.n_track)
+                )
+            )
+            if tgt_time < n_frames - 1
+            else []
+        )
+        out = {}
+        for name_, ids, fill in (
+            ("fwd", fwd_ids, temporal[0]), ("bwd", bwd_ids, temporal[1])
+        ):
+            padded = ids + [fill] * (self.n_track - len(ids))
+            r, m, d, c = bundle(padded)
+            out[f"rgb_src_track_{name_}"] = r
+            out[f"dyn_mask_src_track_{name_}"] = m
+            out[f"depth_src_track_{name_}"] = d
+            out[f"flat_cam_src_track_{name_}"] = c
+            out[f"time_src_track_{name_}"] = np.array(padded, np.float32)
+            out[f"n_actual_src_track_{name_}"] = np.array([len(ids)], np.int64)
+        return out

@@ -11,9 +11,8 @@ and the dyn/static rgb decompositions.
 
 Scope notes: the fixture's images/depths/flows are already at the target
 resolution, so the resize legs (cv2 INTER_AREA / INTER_NEAREST, LANCZOS
-mono fallback) are NOT exercised — the cv2 stub asserts identity sizes so
-any accidental resize fails loudly rather than silently diverging. Zoe
-depth variants have their own unit tests (test_datasets.py).
+mono fallback) are NOT exercised. Zoe depth variants have their own unit
+tests (test_datasets.py).
 """
 
 import pathlib
@@ -42,25 +41,8 @@ def _stub_missing_deps():
     sys.modules["pgdvs.utils.vis_utils"].draw_cam_mesh = lambda *a, **k: None
     sys.modules["trimesh"].PointCloud = None
 
-    # working cv2 shim: PIL-backed BGR imread + identity-size-only resize
-    cv2 = _ensure_stub("cv2")
-
-    def imread(path):
-        img = np.asarray(PIL.Image.open(path).convert("RGB"))
-        return img[:, :, ::-1].copy()  # BGR like cv2
-
-    def resize(img, dsize=None, interpolation=None):
-        w, h = dsize
-        assert img.shape[0] == h and img.shape[1] == w, (
-            "A/B fixture must keep all inputs at target resolution "
-            f"(got {img.shape} -> {(h, w)})"
-        )
-        return img
-
-    cv2.imread = imread
-    cv2.resize = resize
-    cv2.INTER_AREA = 3
-    cv2.INTER_NEAREST = 0
+    # cv2 is installed for real in this image; never stub it — a stub in
+    # sys.modules would shadow the real library for every later import
 
 
 def _import_reference():
@@ -363,3 +345,124 @@ def test_nvidia_vis_dataset_matches_reference(scene_root):
                 )
     finally:
         ref_mod.TGT_HEIGHT, ref_vis_mod.TGT_HEIGHT = orig
+
+
+@pytest.fixture(scope="module")
+def mono_root(tmp_path_factory):
+    """In-the-wild mono layout: rgbs/ poses/ depths/ masks/final/ flows/."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(41)
+    root = tmp_path_factory.mktemp("mono_ab")
+    h, w, n = 32, 40, 6
+    scene = root / "lady-running"
+    for sub in ("rgbs", "poses", "depths", "masks/final", "flows/interval_1"):
+        (scene / sub).mkdir(parents=True)
+
+    k4 = np.eye(4)
+    k4[0, 0] = k4[1, 1] = 35.0
+    k4[0, 2], k4[1, 2] = w / 2, h / 2
+    for i in range(n):
+        name = f"{i:05d}"
+        c2w = np.eye(4)
+        # non-identical rotations (the reference slerp theta==0 path is
+        # broken) and generic translations
+        c2w[:3, :3] = Rotation.from_rotvec(
+            0.02 * rng.uniform(-1, 1, 3)
+        ).as_matrix()
+        c2w[:3, 3] = [0.05 * i + 0.01 * rng.uniform(), -0.02 * i, 0.01 * i]
+        np.savez(scene / "poses" / f"{name}.npz", K=k4, c2w=c2w)
+        rgb = rng.integers(0, 255, (h, w, 3), np.uint8)
+        PIL.Image.fromarray(rgb).save(scene / "rgbs" / f"{name}.png")
+        small = rng.uniform(2.0, 5.0, (h // 4, w // 4))
+        depth = np.asarray(
+            jax.image.resize(jnp.asarray(small, jnp.float32), (h, w), "linear")
+        )
+        np.savez(scene / "depths" / f"{name}.npz", depth=depth)
+        PIL.Image.fromarray(rng.uniform(size=(h, w)) > 0.75).save(
+            scene / "masks/final" / f"{name}_final.png"
+        )
+    for i in range(n - 1):
+        for a, b in ((i, i + 1), (i + 1, i)):
+            np.savez(
+                scene / "flows/interval_1" / f"{a:05d}_{b:05d}.npz",
+                flow=rng.uniform(-2, 2, (h, w, 2)).astype(np.float32),
+                coord_diff=rng.uniform(-1.5, 1.5, (h, w, 2)).astype(np.float32),
+            )
+    return root
+
+
+def test_mono_vis_dataset_matches_reference(mono_root):
+    torch, _ = _import_reference()
+    if not hasattr(np, "mat"):
+        np.mat = np.asmatrix
+    try:
+        from pgdvs.datasets.mono_vis import MonoVisualizationDataset
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference mono_vis unavailable: {e}")
+
+    n_track = 2
+    ref_ds = MonoVisualizationDataset(
+        data_root=str(mono_root),
+        max_hw=-1,
+        mode="vis",
+        scene_ids=["lady-running"],
+        n_src_views_spatial=3,
+        n_src_views_temporal_track_one_side=n_track,
+        vis_center_time=2,
+        n_render_frames=8,
+        vis_time_interval=2,
+        vis_bt_max_disp=32,
+    )
+
+    from pgdvs_tpu.data.mono_vis import MonoVisDataset
+
+    ours_ds = MonoVisDataset(
+        data_root=str(mono_root),
+        scene_ids=["lady-running"],
+        n_src_views_spatial=3,
+        n_src_views_temporal_track_one_side=n_track,
+        with_track_sources=True,
+        vis_center_time=2,
+        n_render_frames=8,
+        vis_time_interval=2,
+        vis_bt_max_disp=32,
+    )
+
+    assert len(ref_ds) == len(ours_ds) == 8
+
+    for idx in range(len(ref_ds)):
+        ref = ref_ds[idx]
+        ours = ours_ds[idx]
+        for key in VIS_KEYS:
+            if key not in ref:
+                continue
+            r = ref[key]
+            if isinstance(r, torch.Tensor):
+                r = r.numpy()
+            o = np.asarray(ours[key])
+            assert r.shape == o.shape, f"[{idx}] {key}: {r.shape} vs {o.shape}"
+            np.testing.assert_allclose(
+                o, r, rtol=1e-4, atol=1e-4, err_msg=f"[item {idx}] {key}"
+            )
+        for rk, ok in VIS_TRACK_FWD.items():
+            r = ref[rk]
+            if isinstance(r, torch.Tensor):
+                r = r.numpy()
+            np.testing.assert_allclose(
+                np.asarray(ours[ok]), r, rtol=1e-4, atol=1e-4,
+                err_msg=f"[item {idx}] {rk}",
+            )
+        for rk, ok in VIS_TRACK_BWD.items():
+            r = ref[rk]
+            if isinstance(r, torch.Tensor):
+                r = r.numpy()
+            r = np.concatenate(
+                [r[1:]] + [r[:1]] * (n_track - (r.shape[0] - 1)), axis=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(ours[ok]), r, rtol=1e-4, atol=1e-4,
+                err_msg=f"[item {idx}] {rk}",
+            )

@@ -41,7 +41,7 @@ def _stub_missing_deps(torch):
     matching pytorch3d's contract (ascending SQUARED distances, self
     included at K+1)."""
     for name in (
-        "hydra", "hydra.utils", "cupy", "cv2", "trimesh", "torchvision",
+        "hydra", "hydra.utils", "cupy", "trimesh", "torchvision",
         "torchvision.utils",
         "pytorch3d", "pytorch3d.utils", "pytorch3d.ops",
         "pgdvs.utils.vis_utils", "pgdvs.utils.training",

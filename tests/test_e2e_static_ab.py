@@ -38,7 +38,7 @@ def _stub_missing_deps():
     are needed for the code paths this test drives — stub them (including
     the reference's own heavy util modules, whose single used symbols are
     provided as no-ops)."""
-    for name in ("hydra", "hydra.utils", "cupy", "cv2",
+    for name in ("hydra", "hydra.utils", "cupy",
                  "pgdvs.utils.vis_utils", "pgdvs.utils.training"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
