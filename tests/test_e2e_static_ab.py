@@ -272,6 +272,162 @@ def test_static_branch_exact_ab(use_dyn_mask, per_ray_depth, n_fine):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "with_dyn_mask,stride,per_ray_depth",
+    [(False, 1, False), (True, 1, True), (False, 2, True)],
+)
+def test_top_renderer_pure_gnt_ab(with_dyn_mask, stride, per_ray_depth):
+    """A/B the TOP-LEVEL renderer glue: reference ``PGDVSRenderer.forward``
+    in pure-GNT mode (``pgdvs_renderer.py:83-135`` + ``prepare_ray_batch``
+    :354-420 + ``forward_st_gnt``) vs ``render_novel_view``. Covers the
+    contract unpacking the static-branch A/B drives manually: masked-vs-raw
+    spatial source selection, per-ray depth-range striding under
+    render_stride, and the pure_gnt short-circuits."""
+    torch, TorchResUNet, TorchGNT, BaseRenderer, PGDVSBaseRenderer = (
+        _import_reference()
+    )
+    for name in ("pytorch3d", "pytorch3d.utils", "pytorch3d.ops",
+                 "trimesh", "torchvision", "torchvision.utils", "omegaconf",
+                 "pgdvs.models.tapnet.interface",
+                 "pgdvs.models.cotracker.interface"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if not hasattr(sys.modules["omegaconf"], "DictConfig"):
+        sys.modules["omegaconf"].DictConfig = dict
+    sys.modules["pytorch3d"].utils = sys.modules["pytorch3d.utils"]
+    sys.modules["pytorch3d"].ops = sys.modules["pytorch3d.ops"]
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    sys.modules["pgdvs.models.tapnet.interface"].TAPNetInterface = None
+    sys.modules["pgdvs.models.cotracker.interface"].CoTrackerInterface = None
+    import pathlib
+
+    orig_mkdir = pathlib.Path.mkdir
+    pathlib.Path.mkdir = lambda self, *a, **k: None
+    try:
+        from pgdvs.renderers.pgdvs_renderer import PGDVSRenderer
+        from pgdvs.models.gnt.projector import Projector
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference top renderer unavailable: {e}")
+    finally:
+        pathlib.Path.mkdir = orig_mkdir
+
+    rng = np.random.default_rng(5)
+    scene = _scene(rng)
+    k4, tgt_c2w, src_c2ws, src_rgbs, masks, depth_range = scene
+
+    torch.manual_seed(0)
+    tres = TorchResUNet(coarse_out_ch=32, single_net=True).eval()
+    tgnt = TorchGNT(netwidth=64, transformer_depth=8, in_feat_ch=32,
+                    ret_alpha=True).eval()
+    st_shim = object.__new__(BaseRenderer)
+    torch.nn.Module.__init__(st_shim)
+    st_shim.projector = Projector()
+    st_shim.model = types.SimpleNamespace(
+        feature_net=tres, net_coarse=tgnt, net_fine=None, single_net=True
+    )
+
+    top = object.__new__(PGDVSRenderer)
+    torch.nn.Module.__init__(top)
+    top.static_renderer = st_shim
+    top.dyn_renderer = None  # unused on the pure_gnt path
+
+    if per_ray_depth:
+        dr = np.broadcast_to(depth_range, (H, W, 2)).copy()
+        dr[..., 0] += np.linspace(0, 0.3, H * W, dtype=np.float32).reshape(H, W)
+        dr_t = torch.tensor(dr[None])
+        dr_j = jnp.asarray(dr)
+    else:
+        dr_t = torch.tensor(depth_range[None])
+        dr_j = jnp.asarray(depth_range)
+
+    data_t = {
+        "rgb_src_temporal": torch.zeros((1, 2, H, W, 3)),
+        "flat_cam_tgt": torch.tensor(_flat_cam(k4, tgt_c2w)[None]),
+        "rgb_src_spatial": torch.tensor(src_rgbs[None]),
+        "static_rgb_src_spatial": torch.tensor(
+            (src_rgbs * (1 - masks))[None]
+        ),
+        "dyn_mask_src_spatial": torch.tensor(masks[None]),
+        "flat_cam_src_spatial": torch.tensor(
+            np.stack([_flat_cam(k4, c) for c in src_c2ws])[None]
+        ),
+        "depth_range": dr_t,
+    }
+    render_cfg = types.SimpleNamespace(
+        render_stride=stride,
+        chunk_size=700,
+        sample_inv_uniform=True,
+        n_coarse_samples_per_ray=SAMPLES,
+        n_fine_samples_per_ray=0,
+        gnt_use_dyn_mask=with_dyn_mask,
+        # the reference asserts pure_gnt modes use UNMASKED spatial sources
+        gnt_use_masked_spatial_src=False,
+        pure_gnt=not with_dyn_mask,
+        pure_gnt_with_dyn_mask=with_dyn_mask,
+        mask_oob_n_proj_thres=1,
+        mask_invalid_n_proj_thres=4,
+    )
+    with torch.no_grad():
+        ref = PGDVSRenderer.forward(
+            top, data_t, render_cfg=render_cfg, disable_tqdm=True
+        )
+    ref_rgb = ref["combined_rgb"][0].permute(1, 2, 0).numpy()
+
+    from pgdvs_tpu.models.gnt.weight_port import port_feature_net, port_gnt
+    from pgdvs_tpu.renderers.compose import render_novel_view
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.static_gnt import make_gnt_models
+
+    models = make_gnt_models(dtype="float32", ret_view_std=False)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        {
+            "feature_net": {
+                "params": port_feature_net(
+                    {k: v.detach().numpy() for k, v in tres.state_dict().items()}
+                )
+            },
+            "gnt": {
+                "params": port_gnt(
+                    {k: v.detach().numpy() for k, v in tgnt.state_dict().items()},
+                    depth=8,
+                )
+            },
+        },
+    )
+    cfg = RenderConfig(
+        n_coarse_samples_per_ray=SAMPLES,
+        sample_inv_uniform=True,
+        ray_tile=512,
+        use_pallas_gnt=False,
+        epipolar_mode="exact",
+        render_stride=stride,
+        gnt_use_dyn_mask=with_dyn_mask,
+        gnt_use_masked_spatial_src=False,
+        pure_gnt=not with_dyn_mask,
+        pure_gnt_with_dyn_mask=with_dyn_mask,
+    )
+    data_j = {
+        "rgb_src_temporal": jnp.zeros((2, H, W, 3)),
+        "flat_cam_tgt": jnp.asarray(_flat_cam(k4, tgt_c2w)),
+        "rgb_src_spatial": jnp.asarray(src_rgbs),
+        "static_rgb_src_spatial": jnp.asarray(src_rgbs * (1 - masks)),
+        "dyn_mask_src_spatial": jnp.asarray(masks),
+        "flat_cam_src_spatial": jnp.asarray(
+            np.stack([_flat_cam(k4, c) for c in src_c2ws])
+        ),
+        "depth_range": dr_j,
+    }
+    out = render_novel_view(
+        models, params, data_j, cfg, jax.random.PRNGKey(0), static_mode="gnt"
+    )
+    got = np.asarray(out["combined_rgb"])
+
+    assert got.shape == ref_rgb.shape
+    np.testing.assert_allclose(got, ref_rgb, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_static_branch_quad_deviation_bounded():
     """Quad-map sampling is an approximation (features pre-upsampled then
     re-interpolated); quantify its deviation from the reference end to end."""
