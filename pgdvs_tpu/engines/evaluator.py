@@ -241,7 +241,9 @@ class Evaluator:
             if self.save_vis:
                 import PIL.Image
 
-                PIL.Image.fromarray((pred * 255).astype(np.uint8)).save(
+                PIL.Image.fromarray(
+                    (np.clip(pred, 0.0, 1.0) * 255).astype(np.uint8)
+                ).save(
                     self.out_dir / f"{item_id}_combined.png"
                 )
         return EvalRecord(item_id, metrics, wall)
