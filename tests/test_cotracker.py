@@ -10,6 +10,7 @@ forward).
 """
 
 import sys
+import importlib.machinery
 import types
 
 import numpy as np
@@ -62,8 +63,11 @@ def _stub_timm(torch):
             return self.fc2(self.act(self.fc1(x)))
 
     timm = types.ModuleType("timm")
+    timm.__spec__ = importlib.machinery.ModuleSpec("timm", None)
     models = types.ModuleType("timm.models")
+    models.__spec__ = importlib.machinery.ModuleSpec("timm.models", None)
     vt = types.ModuleType("timm.models.vision_transformer")
+    vt.__spec__ = importlib.machinery.ModuleSpec("timm.models.vision_transformer", None)
     vt.Attention = Attention
     vt.Mlp = Mlp
     timm.models = models

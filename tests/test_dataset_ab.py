@@ -26,9 +26,21 @@ import pytest
 REF = "/root/reference"
 
 
+def _stub_module(name):
+    """A sys.modules stub with a real ModuleSpec: importlib.util.find_spec
+    raises ValueError on spec-less modules, which breaks later imports that
+    probe optional deps (e.g. transformers checking torchvision)."""
+    import importlib.machinery
+    import types as _types
+
+    mod = _types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
 def _ensure_stub(name):
     if name not in sys.modules:
-        sys.modules[name] = types.ModuleType(name)
+        sys.modules[name] = _stub_module(name)
     return sys.modules[name]
 
 
@@ -39,6 +51,10 @@ def _stub_missing_deps():
     hydra = sys.modules["hydra"]
     hydra.utils = sys.modules["hydra.utils"]
     sys.modules["pgdvs.utils.vis_utils"].draw_cam_mesh = lambda *a, **k: None
+    if hasattr(sys.modules.get("cupy"), "__spec__") and not hasattr(
+        sys.modules["cupy"], "ndarray"
+    ):
+        sys.modules["cupy"].ndarray = type("ndarray", (), {})
     sys.modules["trimesh"].PointCloud = None
 
     # cv2 is installed for real in this image; never stub it — a stub in

@@ -31,6 +31,18 @@ import jax.numpy as jnp
 
 REF = "/root/reference"
 
+
+def _stub_module(name):
+    """A sys.modules stub with a real ModuleSpec: importlib.util.find_spec
+    raises ValueError on spec-less modules, which breaks later imports that
+    probe optional deps (e.g. transformers checking torchvision)."""
+    import importlib.machinery
+    import types as _types
+
+    mod = _types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
 H, W = 36, 44
 KNN = 8
 
@@ -50,7 +62,7 @@ def _stub_missing_deps(torch):
         "pgdvs.models.tapnet.interface", "pgdvs.models.cotracker.interface",
     ):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            sys.modules[name] = _stub_module(name)
     sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
     sys.modules["pgdvs.models.tapnet.interface"].TAPNetInterface = None
     sys.modules["pgdvs.models.cotracker.interface"].CoTrackerInterface = None
@@ -58,6 +70,9 @@ def _stub_missing_deps(torch):
     hydra.utils = sys.modules["hydra.utils"]
     hydra.utils.instantiate = lambda *a, **k: None
     sys.modules["cupy"].memoize = lambda **k: (lambda f: f)
+    # einops probes sys.modules for frameworks: without a real
+    # ndarray type it registers a broken cupy backend
+    sys.modules["cupy"].ndarray = type("ndarray", (), {})
     sys.modules["pgdvs.utils.vis_utils"].draw_cam_mesh = lambda *a, **k: None
     sys.modules["pgdvs.utils.training"].disabled_train = lambda self, *a: self
     sys.modules["trimesh"].PointCloud = None

@@ -29,6 +29,18 @@ import jax.numpy as jnp
 
 REF = "/root/reference"
 
+
+def _stub_module(name):
+    """A sys.modules stub with a real ModuleSpec: importlib.util.find_spec
+    raises ValueError on spec-less modules, which breaks later imports that
+    probe optional deps (e.g. transformers checking torchvision)."""
+    import importlib.machinery
+    import types as _types
+
+    mod = _types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
 H, W, V = 40, 48, 3
 SAMPLES = 24
 
@@ -41,13 +53,16 @@ def _stub_missing_deps():
     for name in ("hydra", "hydra.utils", "cupy",
                  "pgdvs.utils.vis_utils", "pgdvs.utils.training"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            sys.modules[name] = _stub_module(name)
     hydra = sys.modules["hydra"]
     hydra.utils = sys.modules["hydra.utils"]
     hydra.utils.instantiate = lambda *a, **k: None
     # cupy.memoize decorates module-level functions in the vendored
     # softsplat (CUDA-only code this test never executes)
     sys.modules["cupy"].memoize = lambda **k: (lambda f: f)
+    # einops probes sys.modules for frameworks: without a real
+    # ndarray type it registers a broken cupy backend
+    sys.modules["cupy"].ndarray = type("ndarray", (), {})
     sys.modules["pgdvs.utils.vis_utils"].draw_cam_mesh = lambda *a, **k: None
     sys.modules["pgdvs.utils.training"].disabled_train = lambda self, *a: self
 
@@ -291,7 +306,7 @@ def test_top_renderer_pure_gnt_ab(with_dyn_mask, stride, per_ray_depth):
                  "pgdvs.models.tapnet.interface",
                  "pgdvs.models.cotracker.interface"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            sys.modules[name] = _stub_module(name)
     if not hasattr(sys.modules["omegaconf"], "DictConfig"):
         sys.modules["omegaconf"].DictConfig = dict
     sys.modules["pytorch3d"].utils = sys.modules["pytorch3d.utils"]

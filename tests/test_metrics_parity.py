@@ -10,6 +10,7 @@
 """
 
 import sys
+import importlib.machinery
 import types
 
 import numpy as np
@@ -28,7 +29,9 @@ def _stub_skimage():
     if "skimage" in sys.modules:
         return
     sk = types.ModuleType("skimage")
+    sk.__spec__ = importlib.machinery.ModuleSpec("skimage", None)
     met = types.ModuleType("skimage.metrics")
+    met.__spec__ = importlib.machinery.ModuleSpec("skimage.metrics", None)
 
     def structural_similarity(*a, **k):  # pragma: no cover
         raise NotImplementedError("skimage stub")
@@ -36,8 +39,10 @@ def _stub_skimage():
     met.structural_similarity = structural_similarity
     sk.metrics = met
     tr = types.ModuleType("skimage.transform")
+    tr.__spec__ = importlib.machinery.ModuleSpec("skimage.transform", None)
     tr.resize = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError)
     col = types.ModuleType("skimage.color")
+    col.__spec__ = importlib.machinery.ModuleSpec("skimage.color", None)
     for name in ("rgb2lab", "lab2rgb", "rgb2gray"):
         setattr(col, name, lambda *a, **k: (_ for _ in ()).throw(
             NotImplementedError))
@@ -92,7 +97,9 @@ def _stub_torchvision(torch):
             )
 
     mod = types.ModuleType("torchvision")
+    mod.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
     models = types.ModuleType("torchvision.models")
+    models.__spec__ = importlib.machinery.ModuleSpec("torchvision.models", None)
 
     def alexnet(pretrained=False, **kw):
         torch.manual_seed(0)
@@ -178,6 +185,7 @@ def _stub_lpips_pkg():
     if "lpips" in sys.modules:
         return
     mod = types.ModuleType("lpips")
+    mod.__spec__ = importlib.machinery.ModuleSpec("lpips", None)
 
     class LPIPS:  # pragma: no cover
         def __init__(self, *a, **k):
