@@ -161,13 +161,70 @@ def read_model(sparse_dir):
     raise FileNotFoundError(f"no cameras.bin under {sparse_dir}")
 
 
+def colmap_to_poses_scene(sparse_dir, save_dir=None):
+    """Convert a COLMAP sparse model to the reference's in-the-wild layout.
+
+    Exact port of ``convert_colmap_output.py:47-157`` (the artifact the
+    consistent-depth third-party preprocessing consumes): images sorted by
+    name; per-image c2w from qvec/tvec; ``poses.npy`` rows =
+    [c2w.ravel(16) | K4.ravel(16)] with K from the single camera's
+    ``params[0]`` focal and (w/2, h/2) center; ``scene.json`` =
+    {scale, center, bbox} from the bbox of the 95%-inner-filtered point
+    cloud plus the camera centers (scale = 1/diagonal-length).
+
+    Returns (poses [N, 32], scene dict); writes both files when
+    ``save_dir`` is given.
+
+    A/B: tests/test_colmap_ab.py drives the reference converter on the
+    same synthetic binary model.
+    """
+    import json
+
+    cams, images, points = read_model(sparse_dir)
+    assert len(cams) == 1, f"expected a single COLMAP camera, got {len(cams)}"
+    cam = next(iter(cams.values()))
+    k4 = np.eye(4)
+    k4[0, 0] = k4[1, 1] = cam.params[0]
+    k4[0, 2] = cam.width / 2.0
+    k4[1, 2] = cam.height / 2.0
+
+    ims = sorted(images.values(), key=lambda im: im.name)
+    w2c = np.stack([im.w2c for im in ims])
+    c2w = np.linalg.inv(w2c)
+
+    pcl = np.stack([p.xyz for p in points.values()])
+    # inner-percentile outlier filter (convert_colmap_output.py:32-45):
+    # drop points outside the per-axis [2.5%, 97.5%] quantile box
+    lo = np.quantile(pcl, 0.025, axis=0)
+    hi = np.quantile(pcl, 0.975, axis=0)
+    keep = ~(np.any(pcl < lo[None], axis=1) | np.any(pcl > hi[None], axis=1))
+    pts = np.concatenate([pcl[keep], c2w[:, :3, 3]], axis=0)
+    bbox = np.stack([pts.min(axis=0), pts.max(axis=0)])
+    center = bbox.mean(axis=0)
+    scale = 1.0 / np.sqrt(np.sum((bbox[1] - bbox[0]) ** 2))
+
+    n = c2w.shape[0]
+    poses = np.concatenate(
+        [c2w.reshape(n, 16), np.tile(k4[None], (n, 1, 1)).reshape(n, 16)], 1
+    )
+    scene = {"scale": scale, "center": center.tolist(), "bbox": bbox.tolist()}
+    if save_dir is not None:
+        save_dir = Path(save_dir)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        np.save(save_dir / "poses.npy", poses)
+        with open(save_dir / "scene.json", "w") as f:
+            json.dump(scene, f, indent=2)
+    return poses, scene
+
+
 def colmap_to_poses_bounds(sparse_dir, percentile_clip: float = 99.0):
     """Convert a COLMAP sparse model to LLFF poses_bounds rows.
 
-    Equivalent of the reference ``convert_colmap_output.py``: per image, the
-    c2w pose is rewritten into LLFF [down, right, back] axes with hwf
-    appended; bounds are per-image [near, far] percentiles of the depths of
-    its visible 3D points (outlier-clipped).
+    Convenience utility in the LLFF/NSFF ``imgs2poses`` style (per-image
+    [near, far] from visible-point depth percentiles) — useful for feeding
+    the NVIDIA-layout readers from a raw COLMAP run. NOTE: the reference's
+    own converter writes a different artifact (poses.npy + scene.json for
+    the consistent-depth preprocessing) — see ``colmap_to_poses_scene``.
 
     Returns ([N, 17] poses_bounds array, sorted image names).
     """
