@@ -75,8 +75,8 @@ class Trainer:
         self.n_rays = n_rays_per_view
         self.mesh = mesh if mesh is not None else make_mesh(rp=1)
         self.optimizer = optax.adam(lr)
-        self.params = params
-        self.opt_state = self.optimizer.init(params)
+        self.params = self._replicate(params)
+        self.opt_state = self.optimizer.init(self.params)
         self.ckpt_dir = ckpt_dir
         self.modules_not_to_save = tuple(modules_not_to_save)
         self.n_ckpts_keep = n_ckpts_keep
@@ -86,13 +86,26 @@ class Trainer:
             self.mesh, models, cfg, self.optimizer, n_rays_per_view
         )
 
+    def _replicate(self, tree):
+        """Place a pytree fully-replicated over the training mesh.
+
+        Checkpoint restores (and eager inits) produce arrays committed to a
+        single device; the mesh-sharded step would reject mixing them with
+        dp/rp-sharded batches ("incompatible devices")."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+
     def resume(self):
         payload, at = restore_checkpoint(
             self.ckpt_dir, {"params": self.params, "opt_state": self.opt_state}
         )
         if payload is not None:
-            self.params = payload["params"]
-            self.opt_state = payload["opt_state"]
+            self.params = self._replicate(payload["params"])
+            self.opt_state = self._replicate(payload["opt_state"])
             self.epoch, self.step = at
             LOGGER.info("resumed from epoch %d step %d", self.epoch, self.step)
         return self
@@ -104,16 +117,12 @@ class Trainer:
         buf = []
         losses = []
         t0 = time.time()
-        for data in dataset:
-            if "rgb_tgt" not in data:
-                continue
-            buf.append(sample_ray_batch(rng, data, self.n_rays))
-            if len(buf) < dp:
-                continue
+
+        def flush():
             batch = {
                 k: jnp.asarray(np.stack([b[k] for b in buf])) for k in buf[0]
             }
-            buf = []
+            buf.clear()
             with self.mesh:
                 self.params, self.opt_state, loss = self._step_fn(
                     self.params, self.opt_state, batch
@@ -127,6 +136,21 @@ class Trainer:
                     float(loss),
                     (time.time() - t0) / max(len(losses), 1),
                 )
+
+        for data in dataset:
+            if "rgb_tgt" not in data:
+                continue
+            buf.append(sample_ray_batch(rng, data, self.n_rays))
+            if len(buf) == dp:
+                flush()
+        if buf:
+            # epoch remainder (scene has fewer views than dp, or a partial
+            # final batch): cycle the buffered views up to dp so small
+            # scenes still train on wide meshes (the repeats just weight
+            # those views' rays 2x in this one step)
+            n = len(buf)
+            buf.extend(buf[i % n] for i in range(dp - n))
+            flush()
         self.epoch += 1
         if self.ckpt_dir is not None:
             save_checkpoint(

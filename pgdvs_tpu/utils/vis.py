@@ -39,29 +39,42 @@ _WHEEL = _make_color_wheel()
 
 
 def flow_to_color(flow, clip_flow=None):
-    """[H, W, 2] flow -> uint8 [H, W, 3] Middlebury color coding."""
-    u = flow[..., 0].astype(np.float64)
-    v = flow[..., 1].astype(np.float64)
-    if clip_flow is not None:
-        u = np.clip(u, -clip_flow, clip_flow)
-        v = np.clip(v, -clip_flow, clip_flow)
-    rad = np.sqrt(u * u + v * v)
-    rad_max = max(rad.max(), 1e-8)
-    u, v = u / rad_max, v / rad_max
-    rad = rad / rad_max
+    """[H, W, 2] flow -> uint8 [H, W, 3] Middlebury color coding.
 
+    Bit-exact with the reference ``flow_vis_utils.flow_to_image``
+    (``flow_vis_utils.py:110-135``), including its quirks: ``clip_flow``
+    clips to [0, clip] (negatives zeroed, not mirrored), normalization is
+    by ``rad_max + 1e-5``, and the radius fed to the wheel is recomputed
+    from the normalized components (so the >1 desaturation branch of
+    ``flow_uv_to_colors`` stays reachable only for direct callers).
+    A/B: tests/test_flow_vis_ab.py.
+    """
+    if clip_flow is not None:
+        flow = np.clip(flow, 0, clip_flow)
+    u = flow[..., 0]
+    v = flow[..., 1]
+    rad_max = np.sqrt(u**2 + v**2).max()
+    u = u / (rad_max + 1e-5)
+    v = v / (rad_max + 1e-5)
+    return flow_uv_to_colors(u, v)
+
+
+def flow_uv_to_colors(u, v):
+    """Normalized flow components -> wheel colors (flow_vis_utils.py:71-107)."""
+    rad = np.sqrt(u**2 + v**2)
     ncols = _WHEEL.shape[0]
     a = np.arctan2(-v, -u) / np.pi
     fk = (a + 1) / 2 * (ncols - 1)
-    k0 = np.floor(fk).astype(int)
+    k0 = np.floor(fk).astype(np.int32)
     k1 = (k0 + 1) % ncols
     f = fk - k0
     img = np.zeros(u.shape + (3,), np.uint8)
+    over = rad > 1
     for c in range(3):
         col0 = _WHEEL[k0, c] / 255.0
         col1 = _WHEEL[k1, c] / 255.0
         col = (1 - f) * col0 + f * col1
-        col = 1 - rad * (1 - col)  # saturate with radius
+        col = np.where(over, col * 0.75, 1 - rad * (1 - col))
         img[..., c] = np.floor(255 * col)
     return img
 

@@ -147,6 +147,34 @@ def cmd_vis(args):
     print(f"wrote {out}")
 
 
+def cmd_train(args):
+    """Per-scene GNT fine-tuning (the capability the reference scaffolds but
+    leaves unimplemented — ``trainer_pgdvs.py:246-247``)."""
+    from pgdvs_tpu.engines.trainer import Trainer
+    from pgdvs_tpu.parallel.mesh import make_mesh
+
+    cfg = build_render_config(args)
+    dataset = build_dataset(args)
+    models, params = build_models_and_params(args, cfg)
+    trainer = Trainer(
+        models,
+        params,
+        cfg,
+        lr=args.lr,
+        n_rays_per_view=args.n_rays,
+        mesh=make_mesh(rp=args.rp),
+        ckpt_dir=args.out_dir,
+        n_ckpts_keep=args.n_ckpts_keep,
+    )
+    if args.resume:
+        trainer.resume()
+    for _ in range(args.epochs):
+        loss = trainer.train_epoch(dataset, seed=args.seed)
+        LOGGER.info("epoch %d mean loss %.5f", trainer.epoch, loss)
+    print(json.dumps({"epochs": trainer.epoch, "steps": trainer.step,
+                      "final_epoch_loss": loss}))
+
+
 def cmd_bench(args):
     import runpy
 
@@ -246,6 +274,18 @@ def main(argv=None):
     pv = sub.add_parser("vis", help="render a visualization trajectory")
     common(pv)
     pv.set_defaults(fn=cmd_vis)
+
+    pt = sub.add_parser("train", help="per-scene GNT fine-tuning")
+    common(pt)
+    pt.add_argument("--epochs", type=int, default=1)
+    pt.add_argument("--lr", type=float, default=5e-4)
+    pt.add_argument("--n-rays", type=int, default=512)
+    pt.add_argument("--rp", type=int, default=1,
+                    help="ray-parallel mesh axis size (dp = n_devices // rp)")
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--resume", action="store_true")
+    pt.add_argument("--n-ckpts-keep", type=int, default=3)
+    pt.set_defaults(fn=cmd_train)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")
     pb.set_defaults(fn=cmd_bench)

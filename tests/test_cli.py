@@ -1,6 +1,7 @@
-"""CLI integration test: run.py eval end-to-end on a fake on-disk scene."""
+"""CLI integration tests: run.py eval/train end-to-end on a fake on-disk scene."""
 
 import json
+import os
 import subprocess
 import sys
 import pathlib
@@ -12,18 +13,14 @@ pytestmark = pytest.mark.slow  # subprocess CLI e2e on a fake scene
 REPO = pathlib.Path(__file__).parent.parent
 
 
-def test_run_eval_cli(tmp_path):
-    # build the fake scene via the dataset-test fixture machinery
-    from tests.test_datasets import fake_scene  # noqa: F401
-
+def write_fake_nvidia_scene(tmp_path, h=32, w=40, n=4, scene="Balloon1"):
+    """Minimal on-disk NVIDIA-layout scene (poses_bounds_cvd + mv_images +
+    disp + masks + interval flows) the nvidia_eval reader accepts."""
     import numpy as np
     import PIL.Image
     from pgdvs_tpu.data import synthetic
     from pgdvs_tpu.data.nvidia_eval import N_CAMS
 
-    # minimal inline scene (2 frames suffices for one eval item)
-    h, w, n = 32, 40, 4
-    scene = "Balloon1"
     dense = tmp_path / "raw" / scene / "dense"
     (dense / "mv_images").mkdir(parents=True)
     depth_dir = tmp_path / "depths" / scene / "disp"
@@ -70,7 +67,25 @@ def test_run_eval_cli(tmp_path):
                     flow=flow,
                     coord_diff=np.zeros((h, w, 2), np.float32),
                 )
+    return scene
 
+
+DATASET_ARGS = [
+    "--dataset-arg",
+    "raw_data_dir=raw", "depth_data_dir=depths",
+    "mask_data_dir=fm", "flow_data_dir=fm",
+    "n_src_views_spatial=2", "tgt_height=32",
+]
+
+
+def _cpu_env():
+    env = dict(os.environ)
+    env["PGDVS_PLATFORM"] = "cpu"  # env JAX_PLATFORMS is ignored here
+    return env
+
+
+def test_run_eval_cli(tmp_path):
+    scene = write_fake_nvidia_scene(tmp_path)
     out_dir = tmp_path / "out"
     cmd = [
         sys.executable,
@@ -78,10 +93,7 @@ def test_run_eval_cli(tmp_path):
         "eval",
         "--dataset", "nvidia_eval",
         "--data-root", str(tmp_path),
-        "--dataset-arg",
-        "raw_data_dir=raw", "depth_data_dir=depths",
-        "mask_data_dir=fm", "flow_data_dir=fm",
-        "n_src_views_spatial=2", "tgt_height=32",
+        *DATASET_ARGS,
         "--scene-ids", scene,
         "--out-dir", str(out_dir),
         "--max-items", "1",
@@ -89,12 +101,50 @@ def test_run_eval_cli(tmp_path):
         "knn_tile=256",
         "--save-vis",
     ]
-    import os
-
-    env = dict(os.environ)
-    env["PGDVS_PLATFORM"] = "cpu"  # env JAX_PLATFORMS is ignored here
-    res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=500)
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, env=_cpu_env(), timeout=500
+    )
     assert res.returncode == 0, res.stderr[-3000:]
     summary = json.loads((out_dir / "summary.json").read_text())
     assert summary["count"] == 1
     assert "psnr_full" in summary["mean"]
+
+
+def test_run_train_cli(tmp_path):
+    """`run.py train` fine-tunes on the fake scene: finite loss, checkpoint
+    written, and --resume restores it (the capability the reference's
+    trainer scaffolds but leaves unimplemented, trainer_pgdvs.py:246)."""
+    scene = write_fake_nvidia_scene(tmp_path)
+    out_dir = tmp_path / "ckpts"
+    cmd = [
+        sys.executable,
+        str(REPO / "run.py"),
+        "train",
+        "--dataset", "nvidia_eval",
+        "--data-root", str(tmp_path),
+        *DATASET_ARGS,
+        "--scene-ids", scene,
+        "--out-dir", str(out_dir),
+        "--epochs", "1",
+        "--n-rays", "32",
+        "--render-cfg", "n_coarse_samples_per_ray=8",
+    ]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, env=_cpu_env(), timeout=500
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["epochs"] == 1 and report["steps"] >= 1
+    import math
+
+    assert math.isfinite(report["final_epoch_loss"])
+    assert any(out_dir.iterdir()), "no checkpoint written"
+
+    # resume continues from the saved state
+    res2 = subprocess.run(
+        cmd + ["--resume"],
+        capture_output=True, text=True, env=_cpu_env(), timeout=500,
+    )
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    report2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert report2["epochs"] == 2
