@@ -52,6 +52,41 @@ def measure_device_bf16_tflops(iters: int = 64, n: int = 2048) -> float:
     return iters * 2.0 * n**3 / dt / 1e12
 
 
+def measure_hbm_copy_gbps(mb: int = 256) -> float:
+    """HBM streaming bandwidth (read+write) via a scaled copy, in GB/s."""
+    n = mb * 1024 * 1024 // 2
+    x = jnp.ones((n,), jnp.bfloat16)
+
+    @jax.jit
+    def f(x):
+        return x * jnp.bfloat16(1.0001)
+
+    y = f(x)
+    float(jnp.sum(y[:8].astype(jnp.float32)))
+    t0 = time.time()
+    y = f(y)
+    float(jnp.sum(y[:8].astype(jnp.float32)))
+    dt = time.time() - t0
+    return 2 * n * 2 / dt / 1e9
+
+
+def measure_gather_rows_per_s(n_rows: int = 4_000_000, width: int = 140) -> float:
+    """XLA gather issue rate (rows/s) at the render's row shape: random rows
+    from a bf16 [1.6M, width] table — the epipolar sampler's access pattern."""
+    table = jnp.ones((1_600_000, width), jnp.bfloat16)
+    idx = jax.random.randint(jax.random.PRNGKey(0), (n_rows,), 0, 1_600_000)
+
+    @jax.jit
+    def f(t, i):
+        return jnp.sum(jnp.take(t, i, axis=0, mode="clip").astype(jnp.float32))
+
+    float(f(table, idx))
+    t0 = time.time()
+    float(f(table, idx))
+    dt = time.time() - t0
+    return n_rows / dt
+
+
 def main():
     from pgdvs_tpu.data.synthetic import make_contract_data
     from pgdvs_tpu.renderers.compose import render_novel_view
@@ -127,6 +162,10 @@ def main():
         # scales with the rate cap; gather wall scales similarly with HBM)
         extra["projected_nominal_v5e_s_per_view"] = round(
             per_view * tflops / 197.0, 2
+        )
+        extra["device_hbm_copy_gbps"] = round(measure_hbm_copy_gbps(), 1)
+        extra["device_gather_mrows_per_s"] = round(
+            measure_gather_rows_per_s() / 1e6, 1
         )
     except Exception as e:  # never let the probe break the scored line
         extra["device_rate_probe_error"] = repr(e)
