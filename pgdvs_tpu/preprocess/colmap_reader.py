@@ -161,7 +161,7 @@ def read_model(sparse_dir):
     raise FileNotFoundError(f"no cameras.bin under {sparse_dir}")
 
 
-def colmap_to_poses_scene(sparse_dir, save_dir=None):
+def colmap_to_poses_scene(sparse_dir, save_dir=None, max_images: int = 1000):
     """Convert a COLMAP sparse model to the reference's in-the-wild layout.
 
     Exact port of ``convert_colmap_output.py:47-157`` (the artifact the
@@ -170,7 +170,10 @@ def colmap_to_poses_scene(sparse_dir, save_dir=None):
     [c2w.ravel(16) | K4.ravel(16)] with K from the single camera's
     ``params[0]`` focal and (w/2, h/2) center; ``scene.json`` =
     {scale, center, bbox} from the bbox of the 95%-inner-filtered point
-    cloud plus the camera centers (scale = 1/diagonal-length).
+    cloud plus the camera centers (scale = 1/diagonal-length). Like the
+    reference, only the first ``max_images`` (=1000,
+    ``convert_colmap_output.py:87-92``) name-sorted images are kept — the
+    camera centers of dropped frames do not enter the bbox either.
 
     Returns (poses [N, 32], scene dict); writes both files when
     ``save_dir`` is given.
@@ -188,7 +191,7 @@ def colmap_to_poses_scene(sparse_dir, save_dir=None):
     k4[0, 2] = cam.width / 2.0
     k4[1, 2] = cam.height / 2.0
 
-    ims = sorted(images.values(), key=lambda im: im.name)
+    ims = sorted(images.values(), key=lambda im: im.name)[:max_images]
     w2c = np.stack([im.w2c for im in ims])
     c2w = np.linalg.inv(w2c)
 

@@ -153,6 +153,8 @@ def cmd_train(args):
     from pgdvs_tpu.engines.trainer import Trainer
     from pgdvs_tpu.parallel.mesh import make_mesh
 
+    if args.resume and not args.out_dir:
+        raise SystemExit("--resume needs --out-dir (the checkpoint directory)")
     cfg = build_render_config(args)
     dataset = build_dataset(args)
     models, params = build_models_and_params(args, cfg)
@@ -165,9 +167,11 @@ def cmd_train(args):
         mesh=make_mesh(rp=args.rp),
         ckpt_dir=args.out_dir,
         n_ckpts_keep=args.n_ckpts_keep,
+        train_on=args.train_on,
     )
     if args.resume:
         trainer.resume()
+    loss = float("nan")
     for _ in range(args.epochs):
         loss = trainer.train_epoch(dataset, seed=args.seed)
         LOGGER.info("epoch %d mean loss %.5f", trainer.epoch, loss)
@@ -283,6 +287,11 @@ def main(argv=None):
     pt.add_argument("--rp", type=int, default=1,
                     help="ray-parallel mesh axis size (dp = n_devices // rp)")
     pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--train-on", default="src", choices=["src", "tgt"],
+                    help="src: hold one source view out as the photometric "
+                    "target (honest). tgt: supervise on the item's target "
+                    "view — on eval datasets that is the held-out ground "
+                    "truth (test leakage); debugging only")
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--n-ckpts-keep", type=int, default=3)
     pt.set_defaults(fn=cmd_train)

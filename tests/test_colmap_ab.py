@@ -106,6 +106,34 @@ def test_colmap_to_poses_scene_matches_reference(tmp_path):
     assert saved_scene["scale"] == scene["scale"]
 
 
+def test_max_images_cap(tmp_path):
+    """The reference keeps only the first 1000 name-sorted images
+    (convert_colmap_output.py:87-92); the cap also excludes dropped camera
+    centers from the scene bbox."""
+    rng = np.random.default_rng(9)
+    write_colmap_model(tmp_path / "sparse", rng, n_images=7, n_points=30)
+
+    from pgdvs_tpu.preprocess.colmap_reader import colmap_to_poses_scene
+
+    poses, scene = colmap_to_poses_scene(tmp_path / "sparse", max_images=5)
+    assert poses.shape == (5, 32)
+    full, _ = colmap_to_poses_scene(tmp_path / "sparse")
+    assert full.shape == (7, 32)
+    np.testing.assert_allclose(poses, full[:5])
+    # dropped camera centers must not enter the capped bbox: recompute it
+    # independently from the kept c2w rows + the filtered point cloud
+    from pgdvs_tpu.preprocess.colmap_reader import read_model
+
+    _, _, points = read_model(tmp_path / "sparse")
+    pcl = np.stack([p.xyz for p in points.values()])
+    lo, hi = np.quantile(pcl, 0.025, axis=0), np.quantile(pcl, 0.975, axis=0)
+    kept_pts = pcl[~(np.any(pcl < lo[None], 1) | np.any(pcl > hi[None], 1))]
+    centers = poses[:, :16].reshape(-1, 4, 4)[:, :3, 3]
+    allp = np.concatenate([kept_pts, centers])
+    expect = np.stack([allp.min(0), allp.max(0)])
+    np.testing.assert_allclose(np.asarray(scene["bbox"]), expect, rtol=1e-12)
+
+
 def test_poses_row_layout(tmp_path):
     """Row = [c2w.ravel(16) | K4.ravel(16)], images sorted by name
     (convert_colmap_output.py:73-147)."""
