@@ -316,8 +316,9 @@ class DPTBeitBackbone(nn.Module):
         out_conv_feat = nn.relu(
             nn.Conv(f2, (3, 3), padding=1, name="head_conv2")(y)
         )
+        # MiDaS scratch.output_conv.4 is a 1x1 conv (Conv2d(32, 1, 1))
         rel = nn.relu(
-            nn.Conv(1, (3, 3), padding=1, name="head_conv4")(out_conv_feat)
+            nn.Conv(1, (1, 1), padding=0, name="head_conv4")(out_conv_feat)
         )[..., 0]
 
         return rel, out_conv_feat, rn[3], [r4, r3, r2, r1]
@@ -329,32 +330,52 @@ _IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 class ZoeDepthDPT(nn.Module):
-    """DPT-BEiT backbone + metric-bins head -> metric depth at input res.
+    """DPT-BEiT backbone + checkpoint-faithful metric head -> metric depth.
 
-    The Zoe wiring (zoedepth.py): bottleneck = scratch.layer4_rn, per-scale
-    attractor features = refinenet outputs r4..r1, final distribution
-    conditioned on the head's 32ch activation.
+    The Zoe wiring (zoedepth.py forward): bottleneck = scratch.layer4_rn,
+    attractor features = refinenet outputs r4..r1 (coarse -> fine), main
+    feature = the head's 32ch activation, conditioning on the relative
+    depth (single head) — heads A/B-validated vs the HF transformers port
+    (tests/test_zoe_head_ab.py).
+
+    variant: "single" (ZoeD_M12_N / _K — set min/max_depth to the domain's
+    range: NYU 1e-3..10, KITTI 1e-3..80) or "nk" (ZoeD_M12_NK, two routed
+    domain heads).
     """
 
     n_bins: int = 64
     min_depth: float = 1e-3
     max_depth: float = 10.0
+    variant: str = "single"
     backbone_kwargs: Optional[dict] = None
+    head_kwargs: Optional[dict] = None
 
     @nn.compact
     def __call__(self, img):
-        from pgdvs_tpu.models.depth.zoe_head import MetricBinsHead
+        from pgdvs_tpu.models.depth.zoe_head import (
+            ZoeMetricHeadMulti,
+            ZoeMetricHeadSingle,
+        )
 
         kw = self.backbone_kwargs or {}
+        hkw = self.head_kwargs or {}
         x = (img - _IMAGENET_MEAN) / _IMAGENET_STD
         rel, out_conv_feat, l4_rn, pyramid = DPTBeitBackbone(
             name="midas", **kw
         )(x)
-        depth, _ = MetricBinsHead(
-            self.n_bins,
-            min_depth=self.min_depth,
-            max_depth=self.max_depth,
-            name="head",
-        )(l4_rn, pyramid + [out_conv_feat])
+        if self.variant == "single":
+            depth = ZoeMetricHeadSingle(
+                self.n_bins,
+                min_depth=self.min_depth,
+                max_depth=self.max_depth,
+                name="head",
+                **hkw,
+            )(out_conv_feat, l4_rn, pyramid, rel)
+        elif self.variant == "nk":
+            depth, _logits = ZoeMetricHeadMulti(name="head", **hkw)(
+                out_conv_feat, l4_rn, pyramid, rel
+            )
+        else:
+            raise ValueError(f"unknown Zoe variant {self.variant!r}")
         h, w = img.shape[0], img.shape[1]
         return jax.image.resize(depth, (h, w, 1), "bilinear")[..., 0]

@@ -170,12 +170,132 @@ def port_dpt_beit(sd: Dict[str, np.ndarray], depth: int = 24) -> Tuple[dict, lis
     return p, dropped
 
 
+def _take_pair(sd, used, base, kind="conv"):
+    w, b = base + ".weight", base + ".bias"
+    if w not in sd:
+        raise KeyError(f"checkpoint missing {w}")
+    used.add(w)
+    used.add(b)
+    tr = _t_conv if kind == "conv" else _t_linear
+    return {"kernel": tr(sd[w]), "bias": sd[b]}
+
+
+def _take_net(sd, used, base):
+    """`_net = Sequential(Conv1x1, ReLU, Conv1x1)` -> {conv1, conv2}."""
+    return {
+        "conv1": _take_pair(sd, used, base + "._net.0"),
+        "conv2": _take_pair(sd, used, base + "._net.2"),
+    }
+
+
+def port_zoe_head(sd: Dict[str, np.ndarray]) -> Tuple[dict, str]:
+    """Original isl-org metric-head state dict -> flax head params.
+
+    Detects the variant from the keys: ``patch_transformer.*`` present ->
+    the two-domain NK head (``zoedepth_nk.py``), else the single head
+    (``zoedepth.py``). Returns (params for
+    ``zoe_head.ZoeMetricHead{Single,Multi}``, "single" | "nk"). Strict:
+    every head key must be consumed; unknown keys raise.
+    """
+    used = set()
+    p: dict = {"conv2": _take_pair(sd, used, "conv2")}
+    is_nk = any(k.startswith("patch_transformer.") for k in sd)
+
+    if not is_nk:
+        p["seed_bin_regressor"] = _take_net(sd, used, "seed_bin_regressor")
+        p["seed_projector"] = _take_net(sd, used, "seed_projector")
+        for i in range(4):
+            p[f"projector_{i}"] = _take_net(sd, used, f"projectors.{i}")
+            p[f"attractor_{i}"] = _take_net(sd, used, f"attractors.{i}")
+        p["conditional_log_binomial"] = {
+            "mlp0": _take_pair(sd, used, "conditional_log_binomial.mlp.0"),
+            "mlp2": _take_pair(sd, used, "conditional_log_binomial.mlp.2"),
+        }
+    else:
+        pt = {
+            "embedding_convPxP": _take_pair(
+                sd, used, "patch_transformer.embedding_convPxP"
+            )
+        }
+        for i in range(4):
+            b = f"patch_transformer.transformer_encoder.layers.{i}."
+            w = sd[b + "self_attn.in_proj_weight"]
+            used.update({b + "self_attn.in_proj_weight",
+                         b + "self_attn.in_proj_bias"})
+            pt[f"layer_{i}"] = {
+                "in_proj_kernel": _t_linear(w),
+                "in_proj_bias": sd[b + "self_attn.in_proj_bias"],
+                "out_proj": _take_pair(
+                    sd, used, b + "self_attn.out_proj", kind="linear"
+                ),
+                "linear1": _take_pair(sd, used, b + "linear1", kind="linear"),
+                "linear2": _take_pair(sd, used, b + "linear2", kind="linear"),
+                "norm1": {"scale": sd[b + "norm1.weight"],
+                          "bias": sd[b + "norm1.bias"]},
+                "norm2": {"scale": sd[b + "norm2.weight"],
+                          "bias": sd[b + "norm2.bias"]},
+            }
+            used.update({b + "norm1.weight", b + "norm1.bias",
+                         b + "norm2.weight", b + "norm2.bias"})
+        p["patch_transformer"] = pt
+        p["mlp_classifier_0"] = _take_pair(
+            sd, used, "mlp_classifier.0", kind="linear"
+        )
+        p["mlp_classifier_2"] = _take_pair(
+            sd, used, "mlp_classifier.2", kind="linear"
+        )
+        p["seed_projector"] = _take_net(sd, used, "seed_projector")
+        for i in range(4):
+            p[f"projector_{i}"] = _take_net(sd, used, f"projectors.{i}")
+        for name in ("nyu", "kitti"):
+            p[f"seed_bin_regressor_{name}"] = _take_net(
+                sd, used, f"seed_bin_regressors.{name}"
+            )
+            for i in range(4):
+                p[f"attractor_{name}_{i}"] = _take_net(
+                    sd, used, f"attractors.{name}.{i}"
+                )
+            p[f"conditional_log_binomial_{name}"] = {
+                "mlp0": _take_pair(
+                    sd, used, f"conditional_log_binomial.{name}.mlp.0"
+                ),
+                "mlp2": _take_pair(
+                    sd, used, f"conditional_log_binomial.{name}.mlp.2"
+                ),
+            }
+
+    unknown = [k for k in sd if k not in used]
+    if unknown:
+        raise ValueError(f"unrecognized head keys: {unknown[:8]}")
+    return p, ("nk" if is_nk else "single")
+
+
 def load_zoe_checkpoint(path: str, depth: int = 24):
-    """Load a ZoeD_M12_*.pt and return backbone params (torch required)."""
+    """Load a ZoeD_M12_*.pt: returns (backbone_params, head_params, variant).
+
+    The full checkpoint splits into the MiDaS core (``core[.core]
+    .pretrained/scratch.*`` -> DPTBeitBackbone) and the metric-bins head
+    (everything else -> ZoeMetricHead{Single,Multi}); both sides enforce
+    strict key coverage, so a layout drift raises instead of silently
+    running random weights.
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("model", obj) if isinstance(obj, dict) else obj
     sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in sd.items()}
-    return port_dpt_beit(sd, depth=depth)
+    backbone_sd, head_sd = {}, {}
+    for k, v in sd.items():
+        body = k
+        for pre in ("core.core.", "core."):
+            if body.startswith(pre):
+                body = body[len(pre):]
+                break
+        if body.startswith(("pretrained.", "scratch.")):
+            backbone_sd[k] = v
+        else:
+            head_sd[body] = v
+    backbone, dropped = port_dpt_beit(backbone_sd, depth=depth)
+    head, variant = port_zoe_head(head_sd)
+    return backbone, head, variant

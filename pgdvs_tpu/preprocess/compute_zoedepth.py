@@ -111,21 +111,21 @@ def make_dpt_depth_fn(zoe_ckpt: str, max_depth: float = 10.0,
                       infer_hw=(384, 512)):
     """Build depth_fn running the native DPT-BEiT ZoeDepth from a released
     ``ZoeD_M12_*.pt`` (compute_zoedepth.py:146-166 contract): resize to the
-    inference resolution, predict metric depth, resize back."""
+    inference resolution, predict metric depth, resize back. Both the MiDaS
+    backbone AND the metric-bins head are loaded from the checkpoint (the
+    variant — single N/K vs two-domain NK — is detected from its keys)."""
     import jax
     import jax.numpy as jnp
 
     from pgdvs_tpu.models.depth.dpt_beit import ZoeDepthDPT
     from pgdvs_tpu.models.depth.zoe_port import load_zoe_checkpoint
 
-    backbone_params, _ = load_zoe_checkpoint(zoe_ckpt)
-    model = ZoeDepthDPT(max_depth=max_depth)
+    backbone_params, head_params, variant = load_zoe_checkpoint(zoe_ckpt)
+    model = ZoeDepthDPT(max_depth=max_depth, variant=variant)
+    as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+    params = {"params": {"midas": as_jnp(backbone_params),
+                         "head": as_jnp(head_params)}}
     ih, iw = infer_hw
-    init = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((ih, iw, 3), jnp.float32)
-    )
-    params = {"params": dict(init["params"], midas=jax.tree_util.tree_map(
-        jnp.asarray, backbone_params))}
     apply = jax.jit(model.apply)
 
     def depth_fn(img):

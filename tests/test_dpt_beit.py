@@ -101,7 +101,7 @@ def _fake_midas_sd(rng):
     add("scratch.output_conv.0.bias", HEAD_F[0])
     add("scratch.output_conv.2.weight", HEAD_F[1], HEAD_F[0], 3, 3)
     add("scratch.output_conv.2.bias", HEAD_F[1])
-    add("scratch.output_conv.4.weight", 1, HEAD_F[1], 3, 3)
+    add("scratch.output_conv.4.weight", 1, HEAD_F[1], 1, 1)
     add("scratch.output_conv.4.bias", 1)
     return sd
 
@@ -134,12 +134,52 @@ def test_port_key_coverage_and_structure():
         port_dpt_beit(bad, depth=DEPTH)
 
 
-def test_ported_params_run_e2e_through_metric_head():
+def _fake_zoe_head_sd(rng, n_bins=16, emb=32):
+    """Original zoedepth.py single-head key layout at the tiny test dims."""
+    sd = {}
+
+    def add(name, *shape):
+        sd[name] = rng.normal(size=shape).astype(np.float32) * 0.05
+
+    def net(base, cin, mid, cout):
+        add(base + "._net.0.weight", mid, cin, 1, 1)
+        add(base + "._net.0.bias", mid)
+        add(base + "._net.2.weight", cout, mid, 1, 1)
+        add(base + "._net.2.bias", cout)
+
+    add("conv2.weight", FEATS, FEATS, 1, 1)
+    add("conv2.bias", FEATS)
+    net("seed_bin_regressor", FEATS, 256, n_bins)
+    net("seed_projector", FEATS, 128, emb)
+    for i, n_attr in enumerate((16, 8, 4, 1)):
+        net(f"projectors.{i}", FEATS, 128, emb)
+        net(f"attractors.{i}", emb, emb, n_attr)
+    clb_in = HEAD_F[1] + 1 + emb
+    clb_mid = (HEAD_F[1] + 1 + emb) // 2
+    add("conditional_log_binomial.mlp.0.weight", clb_mid, clb_in, 1, 1)
+    add("conditional_log_binomial.mlp.0.bias", clb_mid)
+    add("conditional_log_binomial.mlp.2.weight", 4, clb_mid, 1, 1)
+    add("conditional_log_binomial.mlp.2.bias", 4)
+    return sd
+
+
+def test_ported_params_run_e2e_through_metric_head(tmp_path):
+    """Full load path: a synthetic ZoeD_M12-layout checkpoint (backbone AND
+    metric head) loads via load_zoe_checkpoint and predicts positive finite
+    depth — no module is left on random init."""
+    torch = pytest.importorskip("torch")
     from pgdvs_tpu.models.depth.dpt_beit import ZoeDepthDPT
-    from pgdvs_tpu.models.depth.zoe_port import port_dpt_beit
+    from pgdvs_tpu.models.depth.zoe_port import load_zoe_checkpoint
 
     rng = np.random.default_rng(1)
-    ported, _ = port_dpt_beit(_fake_midas_sd(rng), depth=DEPTH)
+    sd = _fake_midas_sd(rng)
+    sd.update(_fake_zoe_head_sd(rng))
+    ckpt = tmp_path / "ZoeD_tiny.pt"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()}}, ckpt)
+
+    backbone, head, variant = load_zoe_checkpoint(str(ckpt), depth=DEPTH)
+    assert variant == "single"
 
     model = ZoeDepthDPT(
         n_bins=16,
@@ -149,15 +189,20 @@ def test_ported_params_run_e2e_through_metric_head():
             reassemble_channels=REASM, pretrained_grid=GRID,
             head_features=HEAD_F,
         ),
+        head_kwargs=dict(bin_embedding_dim=32,
+                         num_relative_features=HEAD_F[1]),
     )
     img = jnp.asarray(rng.uniform(0, 1, (64, 96, 3)).astype(np.float32))
-    init = model.init(jax.random.PRNGKey(0), img)
-    # swap the backbone for ported weights; head stays random-init
-    params = {"params": dict(init["params"], midas=ported)}
+    params = {"params": {"midas": ported_tree(backbone),
+                         "head": ported_tree(head)}}
     depth = model.apply(params, img)
     assert depth.shape == (64, 96)
     assert np.isfinite(np.asarray(depth)).all()
     assert (np.asarray(depth) > 0).all()
+
+
+def ported_tree(t):
+    return jax.tree_util.tree_map(jnp.asarray, t)
 
 
 def test_rel_pos_index_matches_timm_formula():

@@ -234,3 +234,163 @@ def test_nk_head_matches_hf():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(out)[..., 0], ref, rtol=2e-4,
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Port-mapping A/B: HF weights -> ORIGINAL isl-org checkpoint key layout ->
+# zoe_port.port_zoe_head -> flax — proves the checkpoint port itself, not
+# just the module math.
+# ---------------------------------------------------------------------------
+
+
+def _np(t):
+    return t.detach().numpy()
+
+
+def _orig_net(sd, base, mod):
+    sd[base + "._net.0.weight"] = _np(mod.conv1.weight)
+    sd[base + "._net.0.bias"] = _np(mod.conv1.bias)
+    sd[base + "._net.2.weight"] = _np(mod.conv2.weight)
+    sd[base + "._net.2.bias"] = _np(mod.conv2.bias)
+
+
+def _hf_single_to_original_sd(head):
+    sd = {
+        "conv2.weight": _np(head.conv2.weight),
+        "conv2.bias": _np(head.conv2.bias),
+        "conditional_log_binomial.mlp.0.weight":
+            _np(head.conditional_log_binomial.mlp[0].weight),
+        "conditional_log_binomial.mlp.0.bias":
+            _np(head.conditional_log_binomial.mlp[0].bias),
+        "conditional_log_binomial.mlp.2.weight":
+            _np(head.conditional_log_binomial.mlp[2].weight),
+        "conditional_log_binomial.mlp.2.bias":
+            _np(head.conditional_log_binomial.mlp[2].bias),
+    }
+    _orig_net(sd, "seed_bin_regressor", head.seed_bin_regressor)
+    _orig_net(sd, "seed_projector", head.seed_projector)
+    for i in range(4):
+        _orig_net(sd, f"projectors.{i}", head.projectors[i])
+        _orig_net(sd, f"attractors.{i}", head.attractors[i])
+    return sd
+
+
+def _hf_nk_to_original_sd(head):
+    sd = {
+        "conv2.weight": _np(head.conv2.weight),
+        "conv2.bias": _np(head.conv2.bias),
+        "patch_transformer.embedding_convPxP.weight":
+            _np(head.patch_transformer.embedding_convPxP.weight),
+        "patch_transformer.embedding_convPxP.bias":
+            _np(head.patch_transformer.embedding_convPxP.bias),
+        "mlp_classifier.0.weight": _np(head.mlp_classifier.linear1.weight),
+        "mlp_classifier.0.bias": _np(head.mlp_classifier.linear1.bias),
+        "mlp_classifier.2.weight": _np(head.mlp_classifier.linear2.weight),
+        "mlp_classifier.2.bias": _np(head.mlp_classifier.linear2.bias),
+    }
+    for i, layer in enumerate(head.patch_transformer.transformer_encoder):
+        b = f"patch_transformer.transformer_encoder.layers.{i}."
+        attn = layer.self_attn
+        sd[b + "self_attn.in_proj_weight"] = np.concatenate(
+            [_np(attn.query.weight), _np(attn.key.weight),
+             _np(attn.value.weight)], axis=0,
+        )
+        sd[b + "self_attn.in_proj_bias"] = np.concatenate(
+            [_np(attn.query.bias), _np(attn.key.bias), _np(attn.value.bias)]
+        )
+        sd[b + "self_attn.out_proj.weight"] = _np(attn.out_proj.weight)
+        sd[b + "self_attn.out_proj.bias"] = _np(attn.out_proj.bias)
+        for nm in ("linear1", "linear2", "norm1", "norm2"):
+            sd[b + nm + ".weight"] = _np(getattr(layer, nm).weight)
+            sd[b + nm + ".bias"] = _np(getattr(layer, nm).bias)
+    _orig_net(sd, "seed_projector", head.seed_projector)
+    for i in range(4):
+        _orig_net(sd, f"projectors.{i}", head.projectors[i])
+    for name in ("nyu", "kitti"):
+        _orig_net(sd, f"seed_bin_regressors.{name}",
+                  head.seed_bin_regressors[name])
+        for i in range(4):
+            _orig_net(sd, f"attractors.{name}.{i}", head.attractors[name][i])
+        sd[f"conditional_log_binomial.{name}.mlp.0.weight"] = _np(
+            head.conditional_log_binomial[name].mlp[0].weight)
+        sd[f"conditional_log_binomial.{name}.mlp.0.bias"] = _np(
+            head.conditional_log_binomial[name].mlp[0].bias)
+        sd[f"conditional_log_binomial.{name}.mlp.2.weight"] = _np(
+            head.conditional_log_binomial[name].mlp[2].weight)
+        sd[f"conditional_log_binomial.{name}.mlp.2.bias"] = _np(
+            head.conditional_log_binomial[name].mlp[2].bias)
+    return sd
+
+
+def test_port_zoe_head_single_roundtrip():
+    from pgdvs_tpu.models.depth.zoe_head import ZoeMetricHeadSingle
+    from pgdvs_tpu.models.depth.zoe_port import port_zoe_head
+
+    torch.manual_seed(3)
+    head = ZoeDepthMetricDepthEstimationHead(_single_cfg()).eval()
+    params, variant = port_zoe_head(_hf_single_to_original_sd(head))
+    assert variant == "single"
+
+    rng = np.random.default_rng(3)
+    outconv, bottleneck, feats, rel = _rand_inputs(rng)
+    with torch.no_grad():
+        ref, _ = head(
+            torch.from_numpy(outconv), torch.from_numpy(bottleneck),
+            [torch.from_numpy(f) for f in feats], torch.from_numpy(rel),
+        )
+    model = ZoeMetricHeadSingle(
+        n_bins=6, min_depth=1e-3, max_depth=10.0, bin_embedding_dim=8,
+        n_attractors=(3, 2, 2, 1), num_relative_features=8,
+    )
+    out = model.apply({"params": params}, _to_hwc(outconv),
+                      _to_hwc(bottleneck), [_to_hwc(f) for f in feats],
+                      rel[0])
+    np.testing.assert_allclose(
+        np.asarray(out)[..., 0], ref.numpy()[0, 0], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_port_zoe_head_nk_roundtrip():
+    from pgdvs_tpu.models.depth.zoe_head import ZoeMetricHeadMulti
+    from pgdvs_tpu.models.depth.zoe_port import port_zoe_head
+
+    torch.manual_seed(4)
+    head = ZoeDepthMultipleMetricDepthEstimationHeads(_nk_cfg()).eval()
+    params, variant = port_zoe_head(_hf_nk_to_original_sd(head))
+    assert variant == "nk"
+
+    rng = np.random.default_rng(4)
+    outconv, bottleneck, feats, rel = _rand_inputs(rng)
+    with torch.no_grad():
+        ref, ref_logits = head(
+            torch.from_numpy(outconv), torch.from_numpy(bottleneck),
+            [torch.from_numpy(f) for f in feats], torch.from_numpy(rel),
+        )
+    model = ZoeMetricHeadMulti(
+        bin_confs=(
+            {"name": "nyu", "n_bins": 6, "min_depth": 1e-3,
+             "max_depth": 10.0},
+            {"name": "kitti", "n_bins": 6, "min_depth": 1e-3,
+             "max_depth": 80.0},
+        ),
+        bin_embedding_dim=8, n_attractors=(3, 2, 2, 1),
+        num_relative_features=8, patch_transformer_intermediate=64,
+    )
+    out, logits = model.apply({"params": params}, _to_hwc(outconv),
+                              _to_hwc(bottleneck),
+                              [_to_hwc(f) for f in feats], rel[0])
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy()[0],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out)[..., 0], ref.numpy()[0, 0],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_port_zoe_head_rejects_unknown_keys():
+    from pgdvs_tpu.models.depth.zoe_port import port_zoe_head
+
+    torch.manual_seed(5)
+    head = ZoeDepthMetricDepthEstimationHead(_single_cfg()).eval()
+    sd = _hf_single_to_original_sd(head)
+    sd["mystery.module.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(ValueError, match="unrecognized head keys"):
+        port_zoe_head(sd)
