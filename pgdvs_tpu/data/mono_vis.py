@@ -247,7 +247,6 @@ class MonoVisDataset:
         }
 
     def _track_sources(self, scene, temporal, tgt_time, n_frames, bundle):
-        _, _, names = self._scene_cams(scene)
         # windows exist only when the virtual time has room on that side
         # (reference guards on tgt_time, not on temporal[0/1])
         fwd_ids = (

@@ -327,6 +327,11 @@ class RAFTFlow:
         at [H, W, 2]."""
         return _raft_fwd_bwd(self.params, img1, img2, self.iters)
 
+    def one_way(self, img1, img2):
+        """Single-direction flow [H, W, 2] — half the model passes; the
+        tiling protocols call each direction per patch themselves."""
+        return _raft_one_way(self.params, img1, img2, self.iters)
+
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _raft_fwd_bwd(params, img1, img2, iters):
@@ -345,3 +350,15 @@ def _raft_fwd_bwd(params, img1, img2, iters):
         return f[pads[0][0] : pads[0][0] + h, pads[1][0] : pads[1][0] + w]
 
     return unpad(f12), unpad(f21)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _raft_one_way(params, img1, img2, iters):
+    h, w = img1.shape[:2]
+    ph = (-h) % 8
+    pw = (-w) % 8
+    pads = ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+    a = jnp.pad(img1 * 255.0, pads, mode="edge")
+    b = jnp.pad(img2 * 255.0, pads, mode="edge")
+    f12 = RAFT(iters=iters).apply(params, a, b)
+    return f12[pads[0][0] : pads[0][0] + h, pads[1][0] : pads[1][0] + w]

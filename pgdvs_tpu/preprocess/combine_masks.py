@@ -248,7 +248,14 @@ def main(argv=None):
     flow_dir = pathlib.Path(args.flow_dir)
     out_dir = pathlib.Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    names = sorted(f.stem for f in mask_dir.glob("*.npy"))
+    # the semantic_masks CLI writes auxiliary arrays next to the raw masks
+    # (<stem>_sam.npy, <stem>_semseg_*.npy) and re-runs leave propagation
+    # outputs (<stem>_final/_dyn_cnt.npy) — only bare frame stems are masks
+    aux = ("_sam", "_semseg_ade20k", "_semseg_coco", "_final", "_dyn_cnt")
+    names = sorted(
+        f.stem for f in mask_dir.glob("*.npy")
+        if not f.stem.endswith(aux)
+    )
 
     state = MaskState()
     for i, name in enumerate(names):
@@ -259,7 +266,10 @@ def main(argv=None):
             if sam_f.is_file():
                 sam = np.load(sam_f)
         bwd_flow = bwd_consist = None
-        if i > 0:
+        # propagation starts once a frame at -flow_interval exists (the
+        # reference's read_optical_flow would wrap the index negative here
+        # and load a bogus pair — compute_mask.py:204-206)
+        if i >= args.flow_interval:
             prev = names[i - args.flow_interval]
             info = np.load(flow_dir / f"{name}_{prev}.npz")
             bwd_flow = info["flow"]

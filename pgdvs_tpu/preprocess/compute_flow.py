@@ -73,11 +73,17 @@ def compute_scene_flows(
 
         base_fn = flow_fn
 
+        # the tiling protocol drives each direction per patch itself — use a
+        # single-direction model fn when the flow model offers one instead
+        # of computing (fwd, bwd) per patch and discarding half
+        if hasattr(base_fn, "one_way"):
+            m = base_fn.one_way
+        else:
+            def m(pa, pb):
+                return base_fn(pa, pb)[0]
+
         def flow_fn(img1, img2):  # noqa: F811 — tiled wrapper
             def one_way(a, b):
-                def m(pa, pb):
-                    return base_fn(pa, pb)[0]
-
                 big = (
                     img1.shape[0] >= FLOWFORMER_TRAIN_SIZE[0]
                     and img1.shape[1] >= FLOWFORMER_TRAIN_SIZE[1]
