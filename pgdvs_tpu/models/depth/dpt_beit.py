@@ -140,7 +140,8 @@ class BeitBlock(nn.Module):
         )(y, grid_hw)
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.Dense(self.dim, name="mlp_fc2")(nn.gelu(y))
+        # exact (erf) GELU: timm BEiT / torch nn.GELU semantics
+        y = nn.Dense(self.dim, name="mlp_fc2")(nn.gelu(y, approximate=False))
         return x + g2 * y
 
 
@@ -270,7 +271,7 @@ class DPTBeitBackbone(nn.Module):
             cls_t = jnp.broadcast_to(tokens[0:1], tokens[1:].shape)
             y = jnp.concatenate([tokens[1:], cls_t], axis=-1)
             y = nn.Dense(self.embed_dim, name=f"readout_{idx}")(y)
-            return nn.gelu(y).reshape(gh, gw, self.embed_dim)
+            return nn.gelu(y, approximate=False).reshape(gh, gw, self.embed_dim)
 
         maps = []
         for i, tokens in enumerate(layers):
