@@ -108,16 +108,19 @@ def compute_scene_zoe(
 
 
 def make_dpt_depth_fn(zoe_ckpt: str, max_depth: float = 10.0,
-                      infer_hw=(384, 512)):
+                      net_hw=(384, 512), with_flip_aug: bool = True):
     """Build depth_fn running the native DPT-BEiT ZoeDepth from a released
-    ``ZoeD_M12_*.pt`` (compute_zoedepth.py:146-166 contract): resize to the
-    inference resolution, predict metric depth, resize back. Both the MiDaS
+    ``ZoeD_M12_*.pt`` (compute_zoedepth.py:146-166 contract). Both the MiDaS
     backbone AND the metric-bins head are loaded from the checkpoint (the
-    variant — single N/K vs two-domain NK — is detected from its keys)."""
+    variant — single N/K vs two-domain NK — is detected from its keys), and
+    inference follows the reference's exact ``model.infer`` protocol
+    (reflect pad, keep-aspect multiple-of-32 align-corners resize, flip
+    ensembling, bicubic restore — ``models/depth/zoe_infer.py``)."""
     import jax
     import jax.numpy as jnp
 
     from pgdvs_tpu.models.depth.dpt_beit import ZoeDepthDPT
+    from pgdvs_tpu.models.depth.zoe_infer import zoe_infer
     from pgdvs_tpu.models.depth.zoe_port import load_zoe_checkpoint
 
     backbone_params, head_params, variant = load_zoe_checkpoint(zoe_ckpt)
@@ -125,17 +128,14 @@ def make_dpt_depth_fn(zoe_ckpt: str, max_depth: float = 10.0,
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
     params = {"params": {"midas": as_jnp(backbone_params),
                          "head": as_jnp(head_params)}}
-    ih, iw = infer_hw
     apply = jax.jit(model.apply)
 
+    def net_fn(x):  # [H', W', 3] in [0, 1] at the (multiple-of-32) net size
+        return np.asarray(apply(params, jnp.asarray(x)))
+
     def depth_fn(img):
-        h, w = img.shape[:2]
-        x = jax.image.resize(jnp.asarray(img, jnp.float32), (ih, iw, 3),
-                             "bilinear")
-        d = apply(params, x)
-        return np.asarray(
-            jax.image.resize(d[..., None], (h, w, 1), "bilinear")[..., 0]
-        )
+        return zoe_infer(net_fn, img, net_hw=net_hw,
+                         with_flip_aug=with_flip_aug)
 
     return depth_fn
 
