@@ -39,6 +39,24 @@ def test_evaluator_produces_metric_triplets(setup, tmp_path):
     assert (tmp_path / "t0_combined.png").exists()
 
 
+def test_evaluator_dycheck_branch(setup):
+    """misc.quant_type == 'dycheck' routes to the mPSNR/mSSIM covisible
+    protocol (evaluator_pgdvs.py:282-415) instead of the NVIDIA triplets."""
+    from pgdvs_tpu.engines.evaluator import Evaluator
+
+    models, params, data, cfg = setup
+    ev = Evaluator(models, params, cfg)
+    d = dict(data)
+    covis = np.ones(np.asarray(data["rgb_tgt"]).shape[:2] + (1,), np.float32)
+    covis[: covis.shape[0] // 2] = 0.0  # partial covisibility
+    d["misc"] = {"quant_type": "dycheck", "covisible_mask": covis}
+    rec = ev.eval_item(d, item_id="dy0")
+    assert "mpsnr" in rec.metrics and "mssim" in rec.metrics
+    assert "psnr_full" not in rec.metrics
+    assert np.isfinite(rec.metrics["mpsnr"])
+    assert -1.0 <= rec.metrics["mssim"] <= 1.0
+
+
 def test_evaluator_run_strides_items(setup):
     from pgdvs_tpu.engines.evaluator import Evaluator
 
