@@ -247,6 +247,9 @@ def cmd_benchmark(args):
         max_items=args.max_items,
     )
     print(json.dumps(result, indent=2))
+    if args.out_dir:
+        with open(pathlib.Path(args.out_dir) / "summary.json", "w") as f:
+            json.dump(result, f, indent=2)
 
 
 def main(argv=None):

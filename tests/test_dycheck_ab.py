@@ -264,3 +264,41 @@ def test_dycheck_dataset_matches_reference(iphone_root):
                 o, r, rtol=1e-5, atol=1e-5,
                 err_msg=f"[item {idx}] key {ref_key}",
             )
+
+
+def test_run_benchmark_cli_dycheck(iphone_root, tmp_path):
+    """`run.py benchmark --dataset-family dycheck_iphone` end-to-end on the
+    fake iPhone capture: renders a val item and reports the covisible
+    protocol (mpsnr/mssim), like the reference's iphone benchmark lane
+    (scripts/benchmark.sh iphone)."""
+    import os
+    import subprocess
+
+    out_dir = tmp_path / "bench_out"
+    cmd = [
+        sys.executable,
+        str(pathlib.Path(__file__).parent.parent / "run.py"),
+        "benchmark",
+        "--benchmark-type", "default",
+        "--dataset-family", "dycheck_iphone",
+        "--data-root", str(iphone_root / "raw"),
+        "--scene-ids", SCENE,
+        "--dataset-arg", "factor=2", "n_src_views_spatial=2",
+        f"mask_data_dir={iphone_root / 'masks'}",
+        "--max-items", "1",
+        "--out-dir", str(out_dir),
+        "--render-cfg", "n_coarse_samples_per_ray=8", "ray_tile=180",
+        "knn_tile=256",
+    ]
+    env = dict(os.environ)
+    env["PGDVS_PLATFORM"] = "cpu"
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, timeout=600
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert summary["count"] == 1
+    assert "mpsnr" in summary["mean"] and "mssim" in summary["mean"]
+
+
+test_run_benchmark_cli_dycheck = pytest.mark.slow(test_run_benchmark_cli_dycheck)
