@@ -302,3 +302,41 @@ def test_run_benchmark_cli_dycheck(iphone_root, tmp_path):
 
 
 test_run_benchmark_cli_dycheck = pytest.mark.slow(test_run_benchmark_cli_dycheck)
+
+
+def test_dycheck_extract_matches_reference(iphone_root, tmp_path):
+    """`dycheck_extract` writes the same artifacts as the reference's
+    dycheck_mono_info_extractor on the fake capture: raw-uint8 rgbs,
+    scene-scaled depths, normalized-world K/w2c stacks."""
+    _, iPhoneParserRef = _import_reference_iphone_parser()
+    from pgdvs_tpu.preprocess.dycheck_extract import extract_scene
+
+    n = extract_scene(iphone_root / "raw", tmp_path / "ours", SCENE,
+                      factor=FACTOR)
+    assert n == N_TRAIN
+
+    ref_parser = iPhoneParserRef(SCENE, data_root=str(iphone_root / "raw"))
+    names, time_ids, cam_ids = (
+        ref_parser.load_split("train")
+    )
+    ours = tmp_path / "ours" / SCENE
+    cams = np.load(ours / "camera.npz")
+    assert cams["all_K"].shape == (N_TRAIN, 3, 3)
+    assert cams["all_w2c"].shape == (N_TRAIN, 4, 4)
+    for i, (name, t, c) in enumerate(zip(names, time_ids, cam_ids)):
+        rgb_ref = ref_parser.load_rgba(t, c)[..., :3]
+        rgb_got = np.array(PIL.Image.open(ours / "rgbs" / f"{name}.png"))
+        np.testing.assert_array_equal(rgb_got, rgb_ref)
+        d_ref = ref_parser.load_depth(t, c)[..., 0]
+        d_got = np.load(ours / "depths" / f"{name}.npy")
+        np.testing.assert_allclose(d_got, d_ref, rtol=1e-6)
+        cam = ref_parser.load_camera(t, c)
+        np.testing.assert_allclose(cams["all_K"][i], cam.intrin, atol=1e-5)
+        np.testing.assert_allclose(cams["all_w2c"][i], cam.extrin, atol=1e-5)
+
+
+def _import_reference_iphone_parser():
+    mod = _import_reference()
+    from pgdvs.datasets.dycheck_utils import iPhoneParser as RefParser
+
+    return mod, RefParser
