@@ -260,6 +260,11 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(p):
+        p.add_argument("--distributed", action="store_true",
+                       help="call jax.distributed.initialize() (multi-host "
+                       "pod/cluster; coordinator discovered from the "
+                       "environment) and default --process-index/count to "
+                       "this process's rank/world size")
         p.add_argument("--dataset", default="nvidia_eval")
         p.add_argument("--data-root", default=".")
         p.add_argument("--scene-ids", nargs="*", default=None)
@@ -313,6 +318,15 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     _configure_jax()
+    if getattr(args, "distributed", False):
+        import jax
+
+        jax.distributed.initialize()
+        # DistributedSampler-style item striding follows the process grid
+        # unless the user pinned it explicitly
+        if args.process_count == 1:
+            args.process_index = jax.process_index()
+            args.process_count = jax.process_count()
     return args.fn(args)
 
 
