@@ -27,10 +27,34 @@ view at the benchmark config); gathers cost per row, so
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 
 from pgdvs_tpu.core import cameras
+
+
+class FlatQuadMaps(NamedTuple):
+    """Quad maps pre-flattened to the gather's 2D row table.
+
+    Flattening OUTSIDE the per-tile loop matters: the gather wants a
+    row-major [V*H*W, 4C] table, but the map builder's natural layout is
+    channel-outer — XLA inserts the relayout transpose wherever the reshape
+    sits, and when that is inside the ray-tile ``lax.map`` it re-transposes
+    the loop-invariant 0.44 GB table EVERY tile (~1.9 s/view of the bench,
+    measured via jax.profiler device trace — scripts/profile_render_trace.py).
+    """
+
+    flat: jnp.ndarray                     # [V*H*W, 4C]
+    vhw: Tuple[int, int, int]             # static (V, H, W)
+    scales: Optional[jnp.ndarray] = None  # [4C] int8 dequant scales
+
+
+def flatten_quad_maps(qmaps, scales=None) -> FlatQuadMaps:
+    """[V, H, W, 4C] (build_quad_maps / quantize_quad_maps) -> FlatQuadMaps."""
+    v, h, w, c4 = qmaps.shape
+    return FlatQuadMaps(qmaps.reshape(v * h * w, c4), (v, h, w), scales)
 
 
 def multiview_bilinear(imgs, x, y, zero_pad: bool = True):
@@ -146,15 +170,22 @@ def quad_bilinear(qmaps, x, y, scales=None):
     """Bilinear sampling from build_quad_maps output: one gather row/tap.
 
     Args:
-      qmaps: [V, H, W, 4C]; x, y: [V, ...] pixel coordinates per view.
+      qmaps: [V, H, W, 4C] or FlatQuadMaps; x, y: [V, ...] pixel
+        coordinates per view.
 
     Returns [V, ..., C] with zero padding outside [0, W-1] x [0, H-1]
     (grid_sample padding_mode='zeros' semantics, matching
     `multiview_bilinear(zero_pad=True)`).
     """
-    v, h, w, c4 = qmaps.shape
+    if isinstance(qmaps, FlatQuadMaps):
+        if scales is None:
+            scales = qmaps.scales
+        (v, h, w), flat = qmaps.vhw, qmaps.flat
+        c4 = flat.shape[-1]
+    else:
+        v, h, w, c4 = qmaps.shape
+        flat = qmaps.reshape(v * h * w, c4)
     c = c4 // 4
-    flat = qmaps.reshape(v * h * w, c4)
     shape = x.shape
     xf = x.reshape(v, -1)
     yf = y.reshape(v, -1)
@@ -196,6 +227,7 @@ def epipolar_sample_fused(
     map_scales=None,
     with_ray_diff: bool = True,
     pack_mask: bool = False,
+    emit_mask: bool = True,
 ):
     """Fused-map epipolar sampling: ONE bilinear tap set per (sample, view).
 
@@ -213,9 +245,13 @@ def epipolar_sample_fused(
     Returns the same dict contract as `epipolar_sample` (with pack_mask:
     "packed" replaces "rgb_feat"/"mask").
     """
-    v, h, w, _ = src_maps.shape
+    if isinstance(src_maps, FlatQuadMaps):
+        if map_scales is None:
+            map_scales = src_maps.scales
+        v, h, w = src_maps.vhw
+    else:
+        v, h, w, _ = src_maps.shape
     uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
-    inbound = cameras.pixel_inbound(uv, float(h), float(w))
 
     if quad:
         sampled = quad_bilinear(
@@ -229,6 +265,35 @@ def epipolar_sample_fused(
     else:
         rgb_feat = sampled
         inv_s = jnp.zeros(sampled.shape[:-1] + (1,), jnp.float32)
+
+    if not emit_mask:
+        # validity recomputed downstream (fused-kernel fold_mask): skip the
+        # inbound comparisons and the [V, R, S, 1] mask materialization —
+        # a pathological-layout ~1 s/view fusion chain at bench scale
+        if with_mask or pack_mask:
+            raise ValueError("emit_mask=False excludes with_mask/pack_mask")
+        to_out = (lambda x: x) if views_outer else (
+            lambda x: jnp.moveaxis(x, 0, 2)
+        )
+        return {
+            "ray_diff": None
+            if not with_ray_diff
+            else to_out(
+                jax.vmap(
+                    lambda cam: cameras.ray_diff_features(
+                        pts,
+                        cameras.flat_cam_c2w(tgt_cam),
+                        cameras.flat_cam_c2w(cam),
+                    )
+                )(src_cams)
+            ),
+            "rgb_feat": to_out(rgb_feat),
+            "mask": None,
+            "mask_inbound": None,
+            "mask_invalid": None,
+        }
+
+    inbound = cameras.pixel_inbound(uv, float(h), float(w))
 
     tgt_c2w = cameras.flat_cam_c2w(tgt_cam)
     if with_ray_diff:
@@ -282,11 +347,14 @@ def epipolar_sample_quad_raw(pts, tgt_cam, src_cams, qmaps):
       mask / mask_inbound [V, R, S, 1] (in-front & in-bounds);
       mask_invalid zeros; ray_diff None (fold_ray_diff in-kernel).
     """
-    v, h, w, c4 = qmaps.shape
+    if isinstance(qmaps, FlatQuadMaps):
+        (v, h, w), flat = qmaps.vhw, qmaps.flat
+        c4 = flat.shape[-1]
+    else:
+        v, h, w, c4 = qmaps.shape
+        flat = qmaps.reshape(v * h * w, c4)
     uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
     inbound = cameras.pixel_inbound(uv, float(h), float(w))
-
-    flat = qmaps.reshape(v * h * w, c4)
     x, y = uv[..., 0], uv[..., 1]
     sx = jnp.clip(jnp.floor(x), 0, max(w - 2, 0))
     sy = jnp.clip(jnp.floor(y), 0, max(h - 2, 0))

@@ -65,6 +65,7 @@ def sharded_render_rays(
     # per-view and replicated across the mesh)
     fused_maps = None
     map_scales = None
+    map_vhw = None  # static (V, H, W) of flattened quad maps
     if cfg.epipolar_mode in ("fused", "quad", "quad_i8"):
         from pgdvs_tpu.models.gnt.projector import (
             build_fused_maps,
@@ -85,6 +86,12 @@ def sharded_render_rays(
         )
         if cfg.epipolar_mode == "quad_i8":
             fused_maps, map_scales = quantize_quad_maps(fused_maps)
+        if cfg.epipolar_mode.startswith("quad"):
+            # flatten to the gather's 2D row table outside the shard body so
+            # the relayout transpose runs once (see projector.FlatQuadMaps)
+            mv, mh, mw, mc4 = fused_maps.shape
+            map_vhw = (mv, mh, mw)
+            fused_maps = fused_maps.reshape(mv * mh * mw, mc4)
     rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
         h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),
         stride=cfg.render_stride,
@@ -108,16 +115,14 @@ def sharded_render_rays(
     # a closure capture: closed-over arrays become embedded constants in the
     # sharded program, with pathological compile times on this backend at
     # bench shapes (e.g. 10 views of 288x550x144 quad maps).
-    maps_arg = (
-        (fused_maps, map_scales) if map_scales is not None else fused_maps
-    )
     repl = {
         "params": params["gnt"],
         "tgt_cam": tgt_cam,
         "src_cams": src_cams,
         "src_rgbs": src_rgbs,
         "feats": feats,
-        "maps": maps_arg,
+        "maps": fused_maps,
+        "map_scales": map_scales,
         "inv_masks": src_invalid_masks,
     }
 
@@ -134,6 +139,11 @@ def sharded_render_rays(
         check_vma=False,
     )
     def shard_fn(repl, o, d, r):
+        maps = repl["maps"]
+        if map_vhw is not None:
+            from pgdvs_tpu.models.gnt.projector import FlatQuadMaps
+
+            maps = FlatQuadMaps(maps, map_vhw, repl["map_scales"])
         out = render_rays_gnt(
             gnt,
             repl["params"],
@@ -146,7 +156,7 @@ def sharded_render_rays(
             repl["feats"],
             cfg,
             src_invalid_masks=repl["inv_masks"],
-            src_fused_maps=repl["maps"],
+            src_fused_maps=maps,
         )
         return out
 

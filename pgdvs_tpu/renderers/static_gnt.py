@@ -26,11 +26,13 @@ from pgdvs_tpu.core import cameras, sampling
 from pgdvs_tpu.models.gnt.network import GNT
 from pgdvs_tpu.models.gnt.feature_net import ResUNet
 from pgdvs_tpu.models.gnt.projector import (
+    FlatQuadMaps,
     build_fused_maps,
     build_quad_maps,
     epipolar_sample,
     epipolar_sample_fused,
     epipolar_sample_quad_raw,
+    flatten_quad_maps,
     quantize_quad_maps,
 )
 from pgdvs_tpu.renderers.config import RenderConfig
@@ -134,6 +136,18 @@ def render_rays_gnt(
         and cfg.pallas_kernel == "mono3"
         and src_fused_maps is not None
     )
+    # mono3 fold_mask: no mask operand at all — the kernel recomputes the
+    # inbound & in-front validity from pts + per-view projection rows,
+    # and the sampler skips building the [V, R, S, 1] mask entirely
+    fold_mask = (
+        separate_mask
+        and cfg.pallas_fold_mask
+        and cfg.pallas_fold_ray_diff
+        and not cfg.gnt_use_dyn_mask
+        and isinstance(src_fused_maps, FlatQuadMaps)
+    )
+    if fold_mask:
+        separate_mask = False
     # mono2: pre-pack the mask channel at the sampler (single packed input)
     pack_mask = (
         use_pallas
@@ -141,9 +155,10 @@ def render_rays_gnt(
         and src_fused_maps is not None
     )
     # mono3 fold_lerp: stream raw quad rows + frac; bilinear combine
-    # happens inside the kernel (no [V, R, S, C] lerp tensor in HBM)
+    # happens inside the kernel (no [V, R, S, C] lerp tensor in HBM);
+    # composes with fold_mask (rows + frac, no mask operand at all)
     fold_lerp = (
-        separate_mask
+        (separate_mask or fold_mask)
         and cfg.pallas_fold_lerp
         and fold_ray_diff
         and not cfg.gnt_use_dyn_mask
@@ -152,11 +167,12 @@ def render_rays_gnt(
 
     def gnt_pass(pts, z_vals):
         if src_fused_maps is not None:
-            maps, scales = (
-                src_fused_maps
-                if isinstance(src_fused_maps, tuple)
-                else (src_fused_maps, None)
-            )
+            if isinstance(src_fused_maps, FlatQuadMaps):
+                maps, scales = src_fused_maps, src_fused_maps.scales
+            elif isinstance(src_fused_maps, tuple):
+                maps, scales = src_fused_maps
+            else:
+                maps, scales = src_fused_maps, None
             if fold_lerp:
                 proj = epipolar_sample_quad_raw(pts, tgt_cam, src_cams, maps)
             else:
@@ -168,6 +184,7 @@ def render_rays_gnt(
                     map_scales=scales,
                     with_ray_diff=not fold_ray_diff,
                     pack_mask=pack_mask,
+                    emit_mask=not fold_mask,
                 )
         else:
             proj = epipolar_sample(
@@ -203,6 +220,12 @@ def render_rays_gnt(
                 kern_kwargs["ablate"] = cfg.pallas_ablate
             if separate_mask:
                 kern_kwargs["separate_mask"] = True
+            if fold_mask:
+                _, map_h, map_w = src_fused_maps.vhw
+                kern_kwargs["fold_mask_hw"] = (float(map_h), float(map_w))
+                kern_kwargs["proj_mats"] = jax.vmap(
+                    cameras.flat_cam_projection
+                )(src_cams)
             fold_pos = (
                 fold_ray_diff
                 and cfg.pallas_fold_pos_code
@@ -228,7 +251,7 @@ def render_rays_gnt(
                 if fold_lerp
                 else (proj["packed"] if pack_mask else proj["rgb_feat"]),
                 proj["ray_diff"],
-                None if pack_mask else proj["mask"],
+                None if (pack_mask or fold_mask) else proj["mask"],
                 None if fold_pos else sinusoidal_embed(pts),
                 sinusoidal_embed(viewdirs),
                 ray_block=cfg.pallas_ray_block,
@@ -364,7 +387,12 @@ def render_image_gnt(
             # per-channel int8 maps: ~2x smaller gather rows; the network
             # consumes the samples in bf16 anyway, so per-channel int8
             # quantization is below its activation precision
-            fused_maps = quantize_quad_maps(fused_maps)
+            fused_maps = flatten_quad_maps(*quantize_quad_maps(fused_maps))
+        elif cfg.epipolar_mode == "quad":
+            # flatten to the gather's 2D row table HERE — outside the ray
+            # tile loop — so the relayout transpose runs once per image,
+            # not once per tile (FlatQuadMaps docstring)
+            fused_maps = flatten_quad_maps(fused_maps)
 
     rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
         h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),
