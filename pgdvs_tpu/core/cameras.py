@@ -87,6 +87,13 @@ def inverse_intrinsics3(k3):
     return inv
 
 
+def flat_cam_projection(flat_cam):
+    """K @ w2c [4, 4] — the combined world->pixel matrix of project_points."""
+    intr = flat_cam_intrinsics(flat_cam)
+    c2w = flat_cam_c2w(flat_cam)
+    return jnp.matmul(intr, inverse_se3(c2w), precision=HIGHEST)
+
+
 def project_points(xyz, flat_cam, eps: float = 1e-8, clip: float = 1e6):
     """Project world points into a camera described by a flat 34-vector.
 
@@ -103,10 +110,7 @@ def project_points(xyz, flat_cam, eps: float = 1e-8, clip: float = 1e6):
       z: [...] depth in camera frame.
       in_front: [...] bool, True iff point is in front of the camera.
     """
-    intr = flat_cam_intrinsics(flat_cam)
-    c2w = flat_cam_c2w(flat_cam)
-    w2c = inverse_se3(c2w)
-    proj = jnp.matmul(intr, w2c, precision=HIGHEST)  # [4, 4]
+    proj = flat_cam_projection(flat_cam)  # [4, 4]
     xyz_h = jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], axis=-1)
     cam_pts = jnp.einsum("ij,...j->...i", proj, xyz_h, precision=HIGHEST)  # [..., 4]
     z = cam_pts[..., 2]

@@ -150,6 +150,7 @@ def _gnt_kernel3(
     separate_mask: bool,
     fold_pos_code: bool,
     fold_lerp: bool,
+    fold_mask_hw,
     rf_ref,
     *rest,
 ):
@@ -164,6 +165,9 @@ def _gnt_kernel3(
     rest = rest[2:]
     if fold_ray_diff:
         centers_ref = rest[0]
+        rest = rest[1:]
+    if fold_mask_hw is not None:
+        proj_ref = rest[0]  # [v, 3, 4] f32 combined K @ w2c rows
         rest = rest[1:]
     weight_refs = rest[:-3]
     rgb_out_ref, w_out_ref, cnt_out_ref = rest[-3:]
@@ -197,7 +201,21 @@ def _gnt_kernel3(
             + rows[:, 2 * c : 3 * c] * (wx0 * wy1).astype(dtype)
             + rows[:, 3 * c :] * (wx1 * wy1).astype(dtype)
         ).astype(dtype)
-        mask_col = mask_ref[:].reshape(nv, 1).astype(jnp.float32)
+        mask_col = (
+            mask_ref[:].reshape(nv, 1).astype(jnp.float32)
+            if separate_mask
+            else None  # fold_mask: recomputed below from xyz + proj rows
+        )
+    elif fold_mask_hw is not None:
+        # rgb_feat without the mask channel AND no mask input at all: the
+        # validity mask (inbound & in_front — project_points/pixel_inbound
+        # semantics) is recomputed here from the sample positions and the
+        # per-view K @ w2c rows, after xyz is loaded below. This removes
+        # the [V, R, S, 1] mask stream and its XLA-side build (a ~1 s/view
+        # pathological-layout fusion chain at bench scale,
+        # scripts/profile_render_trace.py).
+        rgb_feat = rf_ref[:].reshape(nv, feat_in).astype(dtype)
+        mask_col = None
     elif separate_mask:
         # rgb_feat arrives without the mask channel (straight from the
         # sampler's lerp fusion — no XLA-side concat copy); the validity
@@ -230,6 +248,29 @@ def _gnt_kernel3(
         ray_diff = jnp.concatenate(rd_rows, axis=0).astype(dtype)
     else:
         ray_diff = rd_ref[:].reshape(nv, 4).astype(dtype)
+    if fold_mask_hw is not None:
+        # cameras.project_points + pixel_inbound, per view on the VPU
+        mh, mw = fold_mask_hw
+        proj = proj_ref[:]  # [v, 3, 4]
+        px, py, pz = xyz[:, 0:1], xyz[:, 1:2], xyz[:, 2:3]
+        mcols = []
+        for i in range(v):
+            p = proj[i]
+            uc = px * p[0, 0] + py * p[0, 1] + pz * p[0, 2] + p[0, 3]
+            vc = px * p[1, 0] + py * p[1, 1] + pz * p[1, 2] + p[1, 3]
+            zc = px * p[2, 0] + py * p[2, 1] + pz * p[2, 2] + p[2, 3]
+            zden = jnp.maximum(zc, 1e-8)
+            uu = jnp.clip(uc / zden, -1e6, 1e6)
+            vv = jnp.clip(vc / zden, -1e6, 1e6)
+            inb = (
+                (uu >= 0.0)
+                & (uu <= mw - 1.0)
+                & (vv >= 0.0)
+                & (vv <= mh - 1.0)
+                & (zc > 0.0)
+            )
+            mcols.append(inb.astype(jnp.float32))
+        mask_col = jnp.concatenate(mcols, axis=0)  # [nv, 1]
     if fold_pos_code:
         # build the 63-ch pts embedding in VMEM from the sample positions
         # (already streamed for fold_ray_diff) via the double-angle octave
@@ -384,7 +425,7 @@ def _gnt_kernel3(
     jax.jit,
     static_argnames=(
         "ray_block", "interpret", "views_outer", "separate_mask",
-        "fold_pos_code", "fold_lerp",
+        "fold_pos_code", "fold_lerp", "fold_mask_hw",
     ),
 )
 def gnt_fused_apply_mono3(
@@ -403,6 +444,8 @@ def gnt_fused_apply_mono3(
     fold_pos_code: bool = False,
     fold_lerp: bool = False,
     frac=None,
+    fold_mask_hw=None,
+    proj_mats=None,
 ):
     """Contract of ``gnt_fused_apply_mono2`` (incl. the fold_ray_diff path:
     pass ray_diff=None with pts + cam_centers, and the pre-packed path:
@@ -413,20 +456,34 @@ def gnt_fused_apply_mono3(
     concat copy at all (the concat was a ~30 ms/tile kLoop fusion at bench
     scale, scripts/hlo_dump_exp.py).
 
+    fold_mask_hw=(H, W) with proj_mats [V, 3, 4] (rows of K @ w2c,
+    cameras.flat_cam_projection): NO mask operand at all — the kernel
+    recomputes the inbound & in-front validity from the sample positions
+    (requires the fold_ray_diff path: ray_diff=None, pts + cam_centers).
+    rgb_feat carries no mask channel, like separate_mask.
+
     Returns {rgb [R, 3], weights [R, S], inbound_cnt_raw [R]} where
     inbound_cnt_raw = sum_s weights * (valid views / V) — equals the
     renderer's inbound_cnt whenever validity == inbound (dyn mask off).
     """
-    pre_packed = mask is None
+    fold_mask = fold_mask_hw is not None
+    if fold_mask:
+        if mask is not None or separate_mask:
+            raise ValueError("fold_mask_hw excludes mask/separate_mask")
+        if ray_diff is not None or proj_mats is None:
+            raise ValueError(
+                "fold_mask_hw requires the fold_ray_diff path + proj_mats"
+            )
+    pre_packed = mask is None and not fold_mask
     if views_outer:
         v, r, s, feat_ch = rgb_feat.shape
     else:
         r, s, v, feat_ch = rgb_feat.shape
     if fold_lerp:
         # rgb_feat = raw quad rows [V, R, S, 4*C] + frac offsets
-        if not (separate_mask and views_outer and frac is not None):
+        if not ((separate_mask or fold_mask) and views_outer and frac is not None):
             raise ValueError(
-                "fold_lerp requires separate_mask + views_outer + frac"
+                "fold_lerp requires separate_mask|fold_mask + views_outer + frac"
             )
         feat_in = feat_ch // 4
     else:
@@ -443,7 +500,7 @@ def gnt_fused_apply_mono3(
     weights = flatten_gnt_params_mono3(gnt_params)
     grid = (r // ray_block,)
 
-    if separate_mask or pre_packed:
+    if separate_mask or pre_packed or fold_mask:
         packed = rgb_feat.astype(jnp.bfloat16)
     else:
         packed = jnp.concatenate(
@@ -495,7 +552,7 @@ def gnt_fused_apply_mono3(
 
     if fold_lerp:
         first_ch = 4 * feat_in
-    elif separate_mask:
+    elif separate_mask or fold_mask:
         first_ch = feat_in
     else:
         first_ch = feat_in + 1
@@ -530,13 +587,16 @@ def gnt_fused_apply_mono3(
     if fold_ray_diff:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(jnp.asarray(cam_centers, jnp.float32))
+    if fold_mask:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(proj_mats, jnp.float32)[:, :3, :])
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     operands += weights
 
     rgb, w, cnt = pl.pallas_call(
         functools.partial(
             _gnt_kernel3, ray_block, s, v, feat_in, fold_ray_diff,
-            separate_mask, fold_pos_code, fold_lerp,
+            separate_mask, fold_pos_code, fold_lerp, fold_mask_hw,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -84,6 +84,19 @@ class RenderConfig:
     #                                ray_tile<=2048 for HBM capacity and
     #                                the extra tiles cost more than the
     #                                saved lerp pass (21.5 vs 19.3 s/view)
+    pallas_fold_mask: bool = False  # mono3 (+fold_ray_diff, flattened quad
+    #                                maps, no dyn mask): NO mask operand —
+    #                                the kernel recomputes inbound&in-front
+    #                                validity from pts + per-view K@w2c rows
+    #                                and the sampler skips the [V, R, S, 1]
+    #                                mask build (a pathological-layout
+    #                                ~1.6 s/view fusion chain at bench scale).
+    #                                Caveat: a tap whose uv lands EXACTLY on
+    #                                the image border (only happens under
+    #                                self-projection, i.e. target == a source
+    #                                view — never the case in the eval
+    #                                protocols) may flip validity by 1 ulp vs
+    #                                the XLA-side mask
     pallas_ablate: str = ""        # perf-bisection only (mono2): skip kernel
     #                                stages in situ ('no_view' | 'no_ray' |
     #                                'no_softmax' | 'min') to attribute e2e

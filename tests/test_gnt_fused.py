@@ -290,6 +290,66 @@ def test_mono3_fold_pos_code_matches(setup):
     )
 
 
+def test_mono3_fold_mask_matches_explicit_mask(setup):
+    """In-kernel validity recompute (fold_mask_hw + proj_mats) must match the
+    explicit-mask path when the mask is built by the same camera formulas
+    (cameras.project_points + pixel_inbound)."""
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
+
+    gnt, params, rgb_feat, _rd, _mask, _pts, ray_d = setup
+    rng = np.random.default_rng(11)
+    r, s, v, fc = rgb_feat.shape
+    h, w = 20, 28
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 25.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.2 * i - 0.3, 0.1 * i, -0.2 * i]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    # points spread so some project out of bounds / behind cameras
+    pts = jnp.asarray(rng.normal(0, 1.2, (r, s, 3)).astype(np.float32) + [0, 0, 2.5])
+    uv, z, in_front = jax.vmap(lambda c: cam_mod.project_points(pts, c))(cams)
+    inb = cam_mod.pixel_inbound(uv, float(h), float(w))
+    mask = jnp.moveaxis((inb & in_front).astype(jnp.float32), 0, 2)[..., None]
+    assert 0.05 < float(jnp.mean(mask)) < 0.95, "test scene not discriminative"
+    projs = jax.vmap(cam_mod.flat_cam_projection)(cams)
+    centers = jnp.concatenate(
+        [
+            cam_mod.flat_cam_c2w(cams[0])[None, :3, 3],
+            jax.vmap(cam_mod.flat_cam_c2w)(cams)[:, :3, 3],
+        ],
+        axis=0,
+    )
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    vc = sinusoidal_embed(viewdirs)
+    common = dict(
+        ray_block=8, interpret=True, pts=pts, cam_centers=centers,
+        fold_pos_code=True,
+    )
+    ref = gnt_fused_apply_mono3(
+        params, rgb_feat, None, mask, None, vc, separate_mask=True, **common
+    )
+    got = gnt_fused_apply_mono3(
+        params, rgb_feat, None, None, None, vc,
+        fold_mask_hw=(float(h), float(w)), proj_mats=projs, **common
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["weights"]), np.asarray(ref["weights"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["inbound_cnt_raw"]),
+        np.asarray(ref["inbound_cnt_raw"]),
+        atol=1e-4,
+    )
+
+
 def test_mono3_all_invalid_rows_finite(setup):
     from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
 

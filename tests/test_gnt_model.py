@@ -354,6 +354,16 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         c2w[:3, 3] = [0.05 * i, 0.0, -0.1 * i]
         cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
     cams = jnp.asarray(np.stack(cams))
+    # target camera offset from every source (like the real eval protocol,
+    # which never puts the target frame among the sources): self-projection
+    # would land uv EXACTLY on pixel-grid boundaries, where 1-ulp
+    # differences between the XLA-side mask and the fold_mask in-kernel
+    # recompute flip the border inbound bit
+    tgt_c2w = np.eye(4)
+    tgt_c2w[:3, 3] = [0.013, 0.007, -0.031]
+    tgt_cam = jnp.asarray(
+        cam_mod.make_flat_cam(h, w, k, tgt_c2w), jnp.float32
+    )
     rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
     models = make_gnt_models(dtype="float32", ret_view_std=False)
     params = init_gnt_params(jax.random.PRNGKey(0), *models, n_src=v)
@@ -380,18 +390,42 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     def render(cfg):
         return jax.jit(
             lambda p: render_image_gnt(
-                models, p, cams[0], cams, rgbs, (h, w), depth_range, cfg
+                models, p, tgt_cam, cams, rgbs, (h, w), depth_range, cfg
             )
         )(params)
 
+    # fold_mask: no mask operand — in-kernel inbound/in-front recompute
+    cfg_bench_fm = RenderConfig(
+        **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8,
+        pallas_kernel="mono3", pallas_fold_ray_diff=True,
+        pallas_fold_pos_code=True, pallas_fold_mask=True,
+    )
+    # fold_lerp + fold_mask: raw quad rows + frac, validity in-kernel
+    cfg_bench_lm = RenderConfig(
+        **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8,
+        pallas_kernel="mono3", pallas_fold_ray_diff=True,
+        pallas_fold_pos_code=True, pallas_fold_mask=True,
+        pallas_fold_lerp=True,
+    )
+
     out_e, out_f, out_q = render(cfg_exact), render(cfg_fused), render(cfg_quad)
     out_b = render(cfg_bench)
+    out_bfm = render(cfg_bench_fm)
+    out_blm = render(cfg_bench_lm)
     # slightly looser rgb bound than quad-vs-fused: the in-kernel ray diff
     # rounds through bf16 at a different point than the XLA-side stream
     for key, tol in (("rgb", 0.04), ("depth", 0.1), ("inbound_cnt", 0.02)):
         np.testing.assert_allclose(
             np.asarray(out_b[key]), np.asarray(out_q[key]), atol=tol,
             err_msg=f"mono3 bench path: {key}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_bfm[key]), np.asarray(out_q[key]), atol=tol,
+            err_msg=f"mono3 fold_mask path: {key}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_blm[key]), np.asarray(out_q[key]), atol=tol,
+            err_msg=f"mono3 fold_lerp+fold_mask path: {key}",
         )
     # quad packs the same fused maps into the channel dim: vs the 4-tap
     # fused mode only float summation order differs (both bf16 kernels)
