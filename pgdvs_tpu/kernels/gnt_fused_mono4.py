@@ -1,0 +1,617 @@
+"""Monolithic fused GNT transformer, v4 — 128-lane sample-pair packing.
+
+mono3's tensors are all 64 channels wide (GNT netwidth), but the TPU's
+native tile is 128 lanes (VPU 8x128, MXU 128x128, bf16 min tile (16, 128)):
+every elementwise pass and every matmul of mono3 runs at <=50% lane
+utilization, and the bottleneck attn_fc matmuls ([*, 64] x [64, 8]) at
+~6%. With the device confirmed at nominal v5e rate (189 TFLOP/s traced —
+scripts/profile_render_trace.py), this layout waste IS the kernel's cost.
+
+mono4 packs PAIRS OF CONSECUTIVE SAMPLES into the lane dimension:
+
+  token tensor [v*r*s, 64]  ->  [v*r*s/2, 128],  lanes = [even_tok | odd_tok]
+
+which is FREE at the input boundary (the sampler's [V, R, S, C] row-major
+layout regroups to [V, R, S/2, 2C] without data movement). Consequences:
+
+  * every dense layer becomes a block-diagonal matmul
+    [n/2, 128] x [128, 128-or-wider] — full MXU contraction depth, half the
+    row passes (weights are rearranged once at flatten time, in f32);
+  * every elementwise/softmax pass runs on full 128-lane tiles at half the
+    rows — ~2x VPU throughput;
+  * layernorm stats (per-64-lane-half mean/var) are computed with ONE
+    [128, 128] block-diagonal averaging matmul (Sel) instead of VPU lane
+    reductions — the MXU is idle there anyway;
+  * the cross-view softmax is untouched: the view axis lives in sublanes,
+    so per-view max/exp/fma slices work identically on packed rows;
+  * ray attention needs true sample-major tokens, so each block unpacks
+    q to an EVENS-THEN-ODDS sequence ([r, s, 64]) — attention is
+    permutation-equivariant, so running it on the reordered sequence is
+    exact; the per-sample weights output is emitted in that order and
+    un-permuted once, XLA-side, per ray tile.
+
+Folds: mono4 always runs the full bench fold set (fold_ray_diff +
+fold_pos_code + fold_mask): ray-diff, the pts sinusoidal embedding and the
+inbound validity are all computed in VMEM from a packed [r, s/2, 6] pts
+stream. The dyn-mask/eval paths stay on mono3.
+
+Numerics: identical op set and dtypes to mono3 (bf16 matmuls, f32
+layernorm stats / view+ray softmax) — only the lane layout and the
+evens-odds ray-attention order differ; parity is bf16-rounding bounded
+(tests/test_gnt_fused.py).
+
+Reference behavior anchor: transformer_network.py:341-539.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NW = 64
+NP = 128  # packed width = 2 * NW
+DEPTH = 8
+HEADS = 4
+POSENC = 63
+NEG = -1e30
+PH = 8  # attn/pos bottleneck hidden width (netwidth // 8)
+
+
+def _d2(w):
+    """Block-diagonal pair duplication: [i, o] -> [2i, 2o]."""
+    w = jnp.asarray(w, jnp.float32)
+    i, o = w.shape
+    z = jnp.zeros((i, o), jnp.float32)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([w, z], axis=1),
+            jnp.concatenate([z, w], axis=1),
+        ],
+        axis=0,
+    )
+
+
+def _t2(b):
+    """Bias pair duplication: [o] -> [2o]."""
+    b = jnp.asarray(b, jnp.float32)
+    return jnp.concatenate([b, b], axis=0)
+
+
+def _pts_lane_perm() -> np.ndarray:
+    """Packed pts-embedding lane -> token embedding dim.
+
+    The in-kernel octave ladder concatenates [xyz, sin, cos, ...] pieces of
+    the PACKED [*, 6] pts tensor, so lanes come in 6-groups of
+    [e_dim3 | o_dim3]. perm[lane] = (token_dim, is_odd)."""
+    lanes = []
+    for g in range(1 + 2 * 10):  # xyz + 10 (sin, cos) octaves
+        for half in range(2):
+            for w in range(3):
+                lanes.append((g * 3 + w, half))
+    return np.asarray(lanes, np.int32)  # [126, 2]
+
+
+def flatten_gnt_params_mono4(gnt_params) -> List[jnp.ndarray]:
+    """Flax GNT params -> mono4 packed weight list (see module docstring)."""
+    p = gnt_params["params"]
+    bp = p["block_pairs"]
+
+    def get(slot_blk, *path):
+        pair, _slot = divmod(slot_blk, 2)
+        cur = bp
+        for k in path:
+            cur = cur[k]
+        return jnp.asarray(cur[pair], jnp.float32)
+
+    def vt(blk):
+        return f"view_trans_{'ab'[blk % 2]}"
+
+    def rt(blk):
+        return f"ray_trans_{'ab'[blk % 2]}"
+
+    # ---- cross-block precompute weights, block-major paired lanes -------
+    wk_cat, wkv_cat, p0_cat, b0_cat, b1_cat = [], [], [], [], []
+    p1_bd = jnp.zeros((DEPTH * 2 * PH, DEPTH * NP), jnp.float32)
+    for blk in range(DEPTH):
+        wk = get(blk, vt(blk), "attn", "k_fc", "kernel")
+        wv = get(blk, vt(blk), "attn", "v_fc", "kernel")
+        wk_cat.append(_d2(wk))                    # [128, 128]
+        wkv_cat.append(_d2(wk @ wv))
+        p0_cat.append(_d2(get(blk, vt(blk), "attn", "pos_fc_0", "kernel")))
+        b0_cat.append(_t2(get(blk, vt(blk), "attn", "pos_fc_0", "bias")))
+        p1 = get(blk, vt(blk), "attn", "pos_fc_1", "kernel")  # [PH, NW]
+        r0 = blk * 2 * PH
+        c0 = blk * NP
+        p1_bd = p1_bd.at[r0 : r0 + PH, c0 : c0 + NW].set(p1)
+        p1_bd = p1_bd.at[r0 + PH : r0 + 2 * PH, c0 + NW : c0 + NP].set(p1)
+        b1_cat.append(_t2(get(blk, vt(blk), "attn", "pos_fc_1", "bias")))
+
+    out = [
+        _d2(p["rgbfeat_fc_0"]["kernel"]),
+        _t2(p["rgbfeat_fc_0"]["bias"]),
+        _d2(p["rgbfeat_fc_1"]["kernel"]),
+        _t2(p["rgbfeat_fc_1"]["bias"]),
+        jnp.concatenate(wk_cat, axis=1),          # [128, DEPTH*128]
+        jnp.concatenate(wkv_cat, axis=1),
+        jnp.concatenate(p0_cat, axis=1),          # [8, DEPTH*2*PH]
+        jnp.concatenate(b0_cat, axis=0),
+        p1_bd,                                    # [DEPTH*2*PH, DEPTH*128]
+        jnp.concatenate(b1_cat, axis=0),
+    ]
+
+    pperm = _pts_lane_perm()
+    hd = NW // HEADS
+    for blk in range(DEPTH):
+        v = vt(blk)
+        r = rt(blk)
+        out += [
+            _t2(get(blk, v, "attn_norm", "scale")),
+            _t2(get(blk, v, "attn_norm", "bias")),
+            _d2(get(blk, v, "attn", "q_fc", "kernel")),
+            _d2(get(blk, v, "attn", "attn_fc_0", "kernel")),
+            _t2(get(blk, v, "attn", "attn_fc_0", "bias")),
+            _d2(get(blk, v, "attn", "attn_fc_1", "kernel")),
+            _t2(get(blk, v, "attn", "attn_fc_1", "bias")),
+            _d2(get(blk, v, "attn", "out_fc", "kernel")),
+            _t2(get(blk, v, "attn", "out_fc", "bias")),
+            _t2(get(blk, v, "ff_norm", "scale")),
+            _t2(get(blk, v, "ff_norm", "bias")),
+            _d2(get(blk, v, "ff", "fc1", "kernel")),
+            _t2(get(blk, v, "ff", "fc1", "bias")),
+            _d2(get(blk, v, "ff", "fc2", "kernel")),
+            _t2(get(blk, v, "ff", "fc2", "bias")),
+        ]
+        if blk % 2 == 0:
+            # qcat = [q_e(64) | q_o(64) | pts_packed(126) | view_code(63)]
+            wq = get(blk, "q_fc_0", "kernel")  # [64 + 126, 64]
+            wcat = jnp.zeros((NP + 126 + POSENC, NP), jnp.float32)
+            wcat = wcat.at[:NW, :NW].set(wq[:NW])
+            wcat = wcat.at[NW:NP, NW:].set(wq[:NW])
+            for lane in range(126):
+                d, half = int(pperm[lane][0]), int(pperm[lane][1])
+                wcat = wcat.at[
+                    NP + lane, half * NW : (half + 1) * NW
+                ].set(wq[NW + d])
+            # the per-ray view embedding is shared by both halves
+            wview = wq[NW + POSENC :]  # [63, 64]
+            wcat = wcat.at[NP + 126 :, :NW].set(wview)
+            wcat = wcat.at[NP + 126 :, NW:].set(wview)
+            out += [
+                wcat,
+                _t2(get(blk, "q_fc_0", "bias")),
+                _d2(get(blk, "q_fc_1", "kernel")),
+                _t2(get(blk, "q_fc_1", "bias")),
+            ]
+        # ray attention runs UNPACKED (evens-odds sequence) — original fold
+        wq = get(blk, r, "attn", "q_fc", "kernel")
+        wkr = get(blk, r, "attn", "k_fc", "kernel")
+        wvr = get(blk, r, "attn", "v_fc", "kernel")
+        wo = get(blk, r, "attn", "out_fc", "kernel")
+        ms, ps = [], []
+        for h in range(HEADS):
+            sl = slice(h * hd, (h + 1) * hd)
+            ms.append(wq[:, sl] @ wkr[:, sl].T / np.sqrt(hd))
+            ps.append(wvr[:, sl] @ wo[sl, :])
+        out += [
+            _t2(get(blk, r, "attn_norm", "scale")),
+            _t2(get(blk, r, "attn_norm", "bias")),
+            jnp.concatenate(ms, axis=1),          # Mcat [64, 256]
+            jnp.concatenate(ps, axis=1),          # Pcat [64, 256]
+            get(blk, r, "attn", "out_fc", "bias"),
+            _t2(get(blk, r, "ff_norm", "scale")),
+            _t2(get(blk, r, "ff_norm", "bias")),
+            _d2(get(blk, r, "ff", "fc1", "kernel")),
+            _t2(get(blk, r, "ff", "fc1", "bias")),
+            _d2(get(blk, r, "ff", "fc2", "kernel")),
+            _t2(get(blk, r, "ff", "fc2", "bias")),
+        ]
+    out += [
+        _t2(p["norm"]["scale"]),
+        _t2(p["norm"]["bias"]),
+        jnp.asarray(p["rgb_fc"]["kernel"], jnp.float32),
+        jnp.asarray(p["rgb_fc"]["bias"], jnp.float32),
+    ]
+    return [jnp.asarray(w).astype(jnp.bfloat16) for w in out]
+
+
+def _gnt_kernel4(
+    rb: int,
+    s: int,
+    v: int,
+    feat_in: int,
+    fold_mask_hw,
+    rf_ref,      # [v, rb, s/2, 2*feat_in] bf16 packed sample pairs
+    pts_ref,     # [rb, s/2, 6] f32 packed sample positions
+    vcode_ref,   # [rb, 1, POSENC] bf16 per-ray view embedding
+    centers_ref,  # [v+1, 3] f32 target + source camera centers
+    proj_ref,    # [v, 3, 4] f32 K @ w2c rows
+    sel_ref,     # [128, 128] f32 block-diag half-averaging matrix (J64/64)
+    *rest,
+):
+    weight_refs = rest[:-3]
+    rgb_out_ref, w_out_ref, cnt_out_ref = rest[-3:]
+    widx = [0]
+
+    def next_w():
+        w = weight_refs[widx[0]][:]
+        widx[0] += 1
+        return w
+
+    dtype = jnp.bfloat16
+    s2 = s // 2
+    ns2 = rb * s2          # packed ray-token rows
+    nv2 = v * ns2          # packed view-token rows
+    sel = sel_ref[:]
+
+    def dense(x, w, b=None):
+        out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        if b is not None:
+            out = out + b.astype(jnp.float32)
+        return out.astype(dtype)
+
+    def layernorm2(x, scale, bias, eps=1e-6):
+        """Per-64-lane-half layernorm via the Sel averaging matmul."""
+        xf = x.astype(jnp.float32)
+        mu = jnp.dot(xf, sel, preferred_element_type=jnp.float32)
+        msq = jnp.dot(xf * xf, sel, preferred_element_type=jnp.float32)
+        var = jnp.maximum(msq - mu * mu, 0.0)
+        out = (xf - mu) * jax.lax.rsqrt(var + eps)
+        return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+            dtype
+        )
+
+    rgb_feat = rf_ref[:].reshape(nv2, 2 * feat_in).astype(dtype)
+
+    # ---- in-VMEM folds from the packed sample positions ------------------
+    eps = 1e-6
+    xyz = pts_ref[:].reshape(ns2, 6).astype(jnp.float32)
+    xe, xo = xyz[:, 0:3], xyz[:, 3:6]
+    centers = centers_ref[:]
+
+    def unit(x):
+        n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        return x / (n + eps)
+
+    tt_e = unit(centers[0:1] - xe)
+    tt_o = unit(centers[0:1] - xo)
+    rd_rows = []
+    for i in range(v):
+        c = centers[i + 1 : i + 2]
+        ts_e, ts_o = unit(c - xe), unit(c - xo)
+        de, do = tt_e - ts_e, tt_o - ts_o
+        dne = jnp.sqrt(jnp.sum(de * de, axis=-1, keepdims=True))
+        dno = jnp.sqrt(jnp.sum(do * do, axis=-1, keepdims=True))
+        dot_e = jnp.sum(tt_e * ts_e, axis=-1, keepdims=True)
+        dot_o = jnp.sum(tt_o * ts_o, axis=-1, keepdims=True)
+        rd_rows.append(
+            jnp.concatenate(
+                [de / jnp.maximum(dne, eps), dot_e,
+                 do / jnp.maximum(dno, eps), dot_o],
+                axis=-1,
+            )
+        )
+    ray_diff = jnp.concatenate(rd_rows, axis=0).astype(dtype)  # [nv2, 8]
+
+    # validity mask (project_points + pixel_inbound), dup across lane halves
+    mh, mw = fold_mask_hw
+    proj = proj_ref[:]
+    ones64 = jnp.ones((1, NW), jnp.float32)
+    mask_rows = []
+    for i in range(v):
+        p = proj[i]
+        cols = []
+        for xh in (xe, xo):
+            px, py, pz = xh[:, 0:1], xh[:, 1:2], xh[:, 2:3]
+            uc = px * p[0, 0] + py * p[0, 1] + pz * p[0, 2] + p[0, 3]
+            vc = px * p[1, 0] + py * p[1, 1] + pz * p[1, 2] + p[1, 3]
+            zc = px * p[2, 0] + py * p[2, 1] + pz * p[2, 2] + p[2, 3]
+            zden = jnp.maximum(zc, 1e-8)
+            uu = jnp.clip(uc / zden, -1e6, 1e6)
+            vv = jnp.clip(vc / zden, -1e6, 1e6)
+            inb = (
+                (uu >= 0.0)
+                & (uu <= mw - 1.0)
+                & (vv >= 0.0)
+                & (vv <= mh - 1.0)
+                & (zc > 0.0)
+            )
+            cols.append(inb.astype(jnp.float32) * ones64)  # [ns2, 64]
+        mask_rows.append(jnp.concatenate(cols, axis=-1))   # [ns2, 128]
+    mask_col = jnp.concatenate(mask_rows, axis=0)           # [nv2, 128]
+
+    # pts sinusoidal embedding, packed lanes (6-groups of [e | o])
+    pparts = [xyz]
+    psn, pcs = jnp.sin(xyz), jnp.cos(xyz)
+    for _ in range(10):
+        pparts.append(psn)
+        pparts.append(pcs)
+        psn, pcs = 2.0 * psn * pcs, pcs * pcs - psn * psn
+    pts_code = jnp.concatenate(pparts, axis=-1)             # [ns2, 126]
+    vcode = vcode_ref[:].astype(jnp.float32)                # [rb, 1, POSENC]
+    vcode_b = jnp.broadcast_to(vcode, (rb, s2, POSENC)).reshape(ns2, POSENC)
+    pos_code = jnp.concatenate([pts_code, vcode_b], axis=-1).astype(dtype)
+
+    def vslice(x, i):
+        return x[i * ns2 : (i + 1) * ns2]
+
+    cnt = vslice(mask_col, 0)
+    for i in range(1, v):
+        cnt = cnt + vslice(mask_col, i)
+    all_invalid = cnt == 0.0
+    view_bias = jnp.where(
+        (mask_col == 0.0) & (~jnp.concatenate([all_invalid] * v, axis=0)),
+        NEG,
+        0.0,
+    )
+
+    h = dense(rgb_feat, next_w(), next_w())
+    h = dense(jax.nn.relu(h), next_w(), next_w())            # [nv2, 128]
+
+    # ---- cross-block precompute: 3 wide full-depth matmuls --------------
+    kp_all = dense(h, next_w())                              # [nv2, D*128]
+    vp_all = dense(h, next_w())
+    pos_in = jax.nn.relu(dense(ray_diff, next_w(), next_w()))
+    pos_all = dense(pos_in, next_w(), next_w())              # [nv2, D*128]
+
+    q = vslice(h, 0)
+    for i in range(1, v):
+        q = jnp.maximum(q, vslice(h, i))                     # [ns2, 128]
+
+    # lane-half selection matrices: Mosaic cannot concatenate a lane-sliced
+    # (offset-64) vector along a non-lane dim, so even/odd halves are
+    # extracted by exact selection MATMULS, which produce canonical
+    # offset-0 layouts (and the MXU is idle at these points anyway)
+    eye64 = jnp.eye(NW, dtype=dtype)
+    z64 = jnp.zeros((NW, NW), dtype)
+    sel_e = jnp.concatenate([eye64, z64], axis=0)  # [128, 64]
+    sel_o = jnp.concatenate([z64, eye64], axis=0)
+
+    def halves(x2d):
+        """[n, 128] -> ([n, 64], [n, 64]) with canonical layouts."""
+        xe = jnp.dot(x2d, sel_e, preferred_element_type=jnp.float32)
+        xo = jnp.dot(x2d, sel_o, preferred_element_type=jnp.float32)
+        return xe.astype(dtype), xo.astype(dtype)
+
+    def unpack_eo(x):
+        """[ns2, 128] packed -> [rb, s, 64] in evens-then-odds order."""
+        xe, xo = halves(x)
+        return jnp.concatenate(
+            [xe.reshape(rb, s2, NW), xo.reshape(rb, s2, NW)], axis=1
+        )
+
+    def pack_eo(x):
+        """[rb, s, 64] evens-then-odds -> [ns2, 128] packed."""
+        return jnp.concatenate([x[:, :s2], x[:, s2:]], axis=-1).reshape(
+            ns2, NP
+        )
+
+    weights_out = None
+    for blk in range(DEPTH):
+        bsl = slice(blk * NP, (blk + 1) * NP)
+        kp = kp_all[:, bsl]
+        vp = vp_all[:, bsl]
+        pos = pos_all[:, bsl]
+
+        x = layernorm2(q, next_w(), next_w())
+        qp = dense(x, next_w())
+        w_a0, b_a0 = next_w(), next_w()
+        w_a1, b_a1 = next_w(), next_w()
+        qtile = jnp.concatenate([qp] * v, axis=0)
+        lg = dense(
+            jax.nn.relu(dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
+        )
+        lg = lg.astype(jnp.float32) + view_bias
+        val = (vp + pos).astype(jnp.float32)
+
+        mx = vslice(lg, 0)
+        for i in range(1, v):
+            mx = jnp.maximum(mx, vslice(lg, i))
+        den = jnp.zeros((ns2, NP), jnp.float32)
+        agg = jnp.zeros((ns2, NP), jnp.float32)
+        for i in range(v):
+            ex = jnp.exp(vslice(lg, i) - mx)
+            den = den + ex
+            agg = agg + ex * vslice(val, i)
+        agg = (agg / den).astype(dtype)
+
+        agg = dense(agg, next_w(), next_w())
+        x = agg + q
+        y = layernorm2(x, next_w(), next_w())
+        y = dense(jax.nn.relu(dense(y, next_w(), next_w())), next_w(), next_w())
+        q = y + x
+
+        if blk % 2 == 0:
+            qcat = jnp.concatenate([q, pos_code], axis=-1)   # [ns2, 317]
+            q = dense(qcat, next_w(), next_w())
+            q = dense(jax.nn.relu(q), next_w(), next_w())
+
+        # ---- ray attention on the evens-then-odds sequence --------------
+        xr = layernorm2(q, next_w(), next_w())
+        mcat = next_w()
+        pcat = next_w()
+        bo = next_w()
+        xr_eo = unpack_eo(xr)                                # [rb, s, 64]
+        z = jnp.dot(
+            xr_eo.reshape(rb * s, NW), mcat.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(rb, s, HEADS * NW)
+        pm = jnp.dot(
+            xr_eo.reshape(rb * s, NW), pcat.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(rb, s, HEADS * NW)
+
+        acc = None
+        w_acc = None
+        for hh in range(HEADS):
+            sl = slice(hh * NW, (hh + 1) * NW)
+            lgh = jax.lax.dot_general(
+                z[:, :, sl], xr_eo,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
+            exh = jnp.exp(lgh)
+            attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
+            outh = jax.lax.dot_general(
+                attn.astype(dtype), pm[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc = outh if acc is None else acc + outh
+            fr = attn[:, 0:1, :]   # query 0 == true sample 0 in eo order
+            w_acc = fr if w_acc is None else w_acc + fr
+        out = (acc + bo.astype(jnp.float32)).astype(dtype)   # [rb, s, 64] eo
+        xq = q + pack_eo(out)
+        y = layernorm2(xq, next_w(), next_w())
+        y = dense(jax.nn.relu(dense(y, next_w(), next_w())), next_w(), next_w())
+        q = xq + y
+
+        weights_out = w_acc / HEADS                          # [rb, 1, s] eo
+
+    hq = layernorm2(q, next_w(), next_w())
+    # mean over samples of both lane halves, via the half-sum selection
+    # matmul (lane-sliced adds don't lower in Mosaic)
+    pool_tok = jnp.dot(
+        hq, 0.5 * (sel_e + sel_o).astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )                                                        # [ns2, 64]
+    pooled = jnp.mean(pool_tok.reshape(rb, s2, NW), axis=1)  # [rb, 64]
+    rgb = dense(pooled.astype(dtype), next_w(), next_w())
+
+    rgb_out_ref[0] = rgb.astype(jnp.float32)
+    w_out_ref[0] = weights_out.astype(jnp.float32)           # eo order
+    # attention-weighted valid-view count (see mono3). cnt lanes are
+    # half-duplicated [cnt_e*ones(64) | cnt_o*ones(64)]; broadcast to the
+    # eo sample sequence with the same halves()/concat machinery, then
+    # reduce jointly over (sample, lane)
+    ce, co = halves(cnt.astype(dtype))                       # [ns2, 64] each
+    cnt_eo = jnp.concatenate(
+        [ce.reshape(rb, s2, NW), co.reshape(rb, s2, NW)], axis=1
+    ).astype(jnp.float32)                                    # [rb, s, 64]
+    cnt_s = jnp.sum(cnt_eo, axis=2) * (1.0 / NW)             # [rb, s]
+    tot = jnp.sum(
+        weights_out.reshape(rb, s) * cnt_s, axis=1, keepdims=True
+    )                                                        # [rb, 1]
+    cnt_out_ref[0] = tot * (1.0 / v)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ray_block", "interpret", "fold_mask_hw"),
+)
+def gnt_fused_apply_mono4(
+    gnt_params,
+    rgb_feat,
+    pts,
+    view_code,
+    cam_centers,
+    proj_mats,
+    fold_mask_hw,
+    ray_block: int = 4,
+    interpret: bool = False,
+):
+    """128-lane packed fused GNT forward (full fold set, views-outer only).
+
+    Args:
+      rgb_feat: [V, R, S, C] bf16 sampled features, NO mask channel.
+      pts: [R, S, 3] f32 world sample positions.
+      view_code: [R, POSENC] per-ray view-direction embedding.
+      cam_centers: [V+1, 3] target-then-sources camera centers.
+      proj_mats: [V, 3, 4] (or [V, 4, 4]) K @ w2c rows.
+      fold_mask_hw: static (H, W) of the source maps for inbound checks.
+
+    Returns {rgb [R, 3], weights [R, S], inbound_cnt_raw [R]} — identical
+    contract to mono3's fold_mask path (weights un-permuted to true sample
+    order here, XLA-side).
+    """
+    v, r, s, feat_in = rgb_feat.shape
+    if s % 2 != 0 or (s // 2) % 8 != 0:
+        raise ValueError(f"mono4 needs s/2 a multiple of 8, got s={s}")
+    if r % ray_block != 0:
+        raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
+    weights = flatten_gnt_params_mono4(gnt_params)
+    grid = (r // ray_block,)
+    s2 = s // 2
+
+    packed = rgb_feat.astype(jnp.bfloat16).reshape(v, r, s2, 2 * feat_in)
+    pts_p = pts.astype(jnp.float32).reshape(r, s2, 6)
+    vcode = view_code.astype(jnp.bfloat16)[:, None, :]
+    sel = jax.lax.convert_element_type(
+        jnp.kron(jnp.eye(2), jnp.full((NW, NW), 1.0 / NW)), jnp.float32
+    )
+
+    in_specs = [
+        pl.BlockSpec(
+            (v, ray_block, s2, 2 * feat_in),
+            lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (ray_block, s2, 6), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (ray_block, 1, POSENC), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        packed,
+        pts_p,
+        vcode,
+        jnp.asarray(cam_centers, jnp.float32),
+        jnp.asarray(proj_mats, jnp.float32)[:, :3, :],
+        sel,
+    ]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    operands += weights
+
+    rgb, w, cnt = pl.pallas_call(
+        functools.partial(
+            _gnt_kernel4, ray_block, s, v, feat_in,
+            (float(fold_mask_hw[0]), float(fold_mask_hw[1])),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (1, ray_block, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, ray_block, 1, s),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ray_block, 1), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid[0], ray_block, 3), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], ray_block, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], ray_block, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    # un-permute the evens-then-odds weights to true sample order
+    w_eo = w.reshape(r, s)
+    w_true = (
+        jnp.stack([w_eo[:, :s2], w_eo[:, s2:]], axis=-1).reshape(r, s)
+    )
+    return {
+        "rgb": rgb.reshape(r, 3),
+        "weights": w_true,
+        "inbound_cnt_raw": cnt.reshape(r),
+    }

@@ -123,7 +123,7 @@ def render_rays_gnt(
 
     fold_ray_diff = (
         use_pallas
-        and cfg.pallas_kernel in ("mono2", "mono3")
+        and cfg.pallas_kernel in ("mono2", "mono3", "mono4")
         and cfg.pallas_fold_ray_diff
         and src_fused_maps is not None
     )
@@ -133,7 +133,7 @@ def render_rays_gnt(
     # off), skipping the XLA-side [V, R, S] mask reductions
     separate_mask = (
         use_pallas
-        and cfg.pallas_kernel == "mono3"
+        and cfg.pallas_kernel in ("mono3", "mono4")
         and src_fused_maps is not None
     )
     # mono3 fold_mask: no mask operand at all — the kernel recomputes the
@@ -148,6 +148,16 @@ def render_rays_gnt(
     )
     if fold_mask:
         separate_mask = False
+    # mono4 (128-lane sample-pair packing) supports ONLY the full fold set
+    # (fold_ray_diff + fold_pos_code + fold_mask, even sample pairs); any
+    # other configuration silently runs mono3, whose fallbacks cover it
+    kernel_name = cfg.pallas_kernel
+    if kernel_name == "mono4" and not (
+        fold_mask
+        and cfg.pallas_fold_pos_code
+        and cfg.n_coarse_samples_per_ray % 16 == 0
+    ):
+        kernel_name = "mono3"
     # mono2: pre-pack the mask channel at the sampler (single packed input)
     pack_mask = (
         use_pallas
@@ -198,15 +208,64 @@ def render_rays_gnt(
                 views_outer=views_outer,
             )
         if use_pallas:
-            if cfg.pallas_kernel == "mono":
+            kname = kernel_name
+            if kname == "mono4" and pts.shape[1] % 16 != 0:
+                kname = "mono3"  # e.g. odd merged coarse+fine sample count
+            if kname == "mono4":
+                from pgdvs_tpu.kernels.gnt_fused_mono4 import (
+                    gnt_fused_apply_mono4,
+                )
+                from pgdvs_tpu.models.gnt.network import sinusoidal_embed
+
+                viewdirs = rays_d / jnp.linalg.norm(
+                    rays_d, axis=-1, keepdims=True
+                )
+                _, map_h, map_w = src_fused_maps.vhw
+                centers = jnp.concatenate(
+                    [
+                        cameras.flat_cam_c2w(tgt_cam)[None, :3, 3],
+                        jax.vmap(cameras.flat_cam_c2w)(src_cams)[:, :3, 3],
+                    ],
+                    axis=0,
+                )
+                out = gnt_fused_apply_mono4(
+                    gnt_params,
+                    proj["rgb_feat"],
+                    pts,
+                    sinusoidal_embed(viewdirs),
+                    centers,
+                    jax.vmap(cameras.flat_cam_projection)(src_cams),
+                    (float(map_h), float(map_w)),
+                    ray_block=cfg.pallas_ray_block,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                out = dict(out, view_std=None, view_std_normalized=None)
+                weights = out["weights"]
+                depth = jnp.sum(weights * z_vals, axis=-1)
+                inbound_cnt = out["inbound_cnt_raw"]
+                dyn_cnt = jnp.zeros_like(inbound_cnt)
+                n_layers = gnt.depth + 1
+                std_c = jnp.zeros(
+                    weights.shape[:-1] + (n_layers,), jnp.float32
+                )
+                return {
+                    "rgb": out["rgb"],
+                    "depth": depth,
+                    "weights": weights,
+                    "inbound_cnt": inbound_cnt,
+                    "dyn_cnt": dyn_cnt,
+                    "view_std": std_c,
+                    "view_std_normalized": std_c,
+                }
+            if kname == "mono":
                 from pgdvs_tpu.kernels.gnt_fused_mono import (
                     gnt_fused_apply_mono as gnt_fused_apply,
                 )
-            elif cfg.pallas_kernel == "mono2":
+            elif kname == "mono2":
                 from pgdvs_tpu.kernels.gnt_fused_mono2 import (
                     gnt_fused_apply_mono2 as gnt_fused_apply,
                 )
-            elif cfg.pallas_kernel == "mono3":
+            elif kname == "mono3":
                 from pgdvs_tpu.kernels.gnt_fused_mono3 import (
                     gnt_fused_apply_mono3 as gnt_fused_apply,
                 )
@@ -216,7 +275,7 @@ def render_rays_gnt(
 
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
             kern_kwargs = {}
-            if cfg.pallas_ablate and cfg.pallas_kernel == "mono2":
+            if cfg.pallas_ablate and kname == "mono2":
                 kern_kwargs["ablate"] = cfg.pallas_ablate
             if separate_mask:
                 kern_kwargs["separate_mask"] = True
@@ -229,7 +288,7 @@ def render_rays_gnt(
             fold_pos = (
                 fold_ray_diff
                 and cfg.pallas_fold_pos_code
-                and cfg.pallas_kernel == "mono3"
+                and kname == "mono3"
             )
             if fold_pos:
                 kern_kwargs["fold_pos_code"] = True

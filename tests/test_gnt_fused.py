@@ -363,3 +363,101 @@ def test_mono3_all_invalid_rows_finite(setup):
     )
     assert np.isfinite(np.asarray(out["rgb"])).all()
     assert np.isfinite(np.asarray(out["weights"])).all()
+
+
+def test_mono4_matches_mono3_fold_mask(setup):
+    """128-lane packed kernel vs mono3 on the full fold set (ray_diff +
+    pos_code + mask all computed in-kernel from pts + cameras). mono4
+    changes only lane layout and the ray-attention sample order
+    (evens-then-odds, exact by permutation equivariance), so agreement is
+    bf16-rounding bounded."""
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
+    from pgdvs_tpu.kernels.gnt_fused_mono4 import gnt_fused_apply_mono4
+
+    gnt, params, rgb_feat, _rd, _mask, _pts, ray_d = setup
+    rng = np.random.default_rng(13)
+    r, s, v, fc = rgb_feat.shape
+    h, w = 20, 28
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 25.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.2 * i - 0.3, 0.1 * i, -0.2 * i]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    pts = jnp.asarray(
+        rng.normal(0, 1.2, (r, s, 3)).astype(np.float32) + [0, 0, 2.5]
+    )
+    projs = jax.vmap(cam_mod.flat_cam_projection)(cams)
+    centers = jnp.concatenate(
+        [
+            cam_mod.flat_cam_c2w(cams[0])[None, :3, 3],
+            jax.vmap(cam_mod.flat_cam_c2w)(cams)[:, :3, 3],
+        ],
+        axis=0,
+    )
+    viewdirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+    vc = sinusoidal_embed(viewdirs)
+    rf_outer = jnp.moveaxis(rgb_feat, 2, 0)  # [V, R, S, C] views-outer
+
+    ref = gnt_fused_apply_mono3(
+        params, rf_outer, None, None, None, vc,
+        ray_block=8, interpret=True, views_outer=True,
+        pts=pts, cam_centers=centers, fold_pos_code=True,
+        fold_mask_hw=(float(h), float(w)), proj_mats=projs,
+    )
+    got = gnt_fused_apply_mono4(
+        params, rf_outer, pts, vc, centers, projs, (h, w),
+        ray_block=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=0.02, rtol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["weights"]), np.asarray(ref["weights"]), atol=0.01
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["inbound_cnt_raw"]),
+        np.asarray(ref["inbound_cnt_raw"]),
+        atol=0.01,
+    )
+
+
+def test_mono4_all_invalid_rows_finite(setup):
+    """Rays whose samples are invalid in every view must stay finite."""
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.kernels.gnt_fused_mono4 import gnt_fused_apply_mono4
+
+    gnt, params, rgb_feat, _rd, _mask, _pts, ray_d = setup
+    r, s, v, fc = rgb_feat.shape
+    h, w = 20, 28
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 25.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.2 * i - 0.3, 0.1 * i, -0.2 * i]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    # all points far behind every camera -> zero valid views everywhere
+    pts = jnp.full((r, s, 3), -50.0, jnp.float32)
+    projs = jax.vmap(cam_mod.flat_cam_projection)(cams)
+    centers = jnp.concatenate(
+        [
+            cam_mod.flat_cam_c2w(cams[0])[None, :3, 3],
+            jax.vmap(cam_mod.flat_cam_c2w)(cams)[:, :3, 3],
+        ],
+        axis=0,
+    )
+    vc = sinusoidal_embed(ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True))
+    out = gnt_fused_apply_mono4(
+        params, jnp.moveaxis(rgb_feat, 2, 0), pts, vc, centers, projs, (h, w),
+        ray_block=8, interpret=True,
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(np.asarray(out["weights"])).all()
+    assert np.isfinite(np.asarray(out["inbound_cnt_raw"])).all()

@@ -408,10 +408,18 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         pallas_fold_lerp=True,
     )
 
+    # mono4: 128-lane sample-pair packing, full fold set
+    cfg_bench_m4 = RenderConfig(
+        **base, epipolar_mode="quad", use_pallas_gnt=True, pallas_ray_block=8,
+        pallas_kernel="mono4", pallas_fold_ray_diff=True,
+        pallas_fold_pos_code=True, pallas_fold_mask=True,
+    )
+
     out_e, out_f, out_q = render(cfg_exact), render(cfg_fused), render(cfg_quad)
     out_b = render(cfg_bench)
     out_bfm = render(cfg_bench_fm)
     out_blm = render(cfg_bench_lm)
+    out_bm4 = render(cfg_bench_m4)
     # slightly looser rgb bound than quad-vs-fused: the in-kernel ray diff
     # rounds through bf16 at a different point than the XLA-side stream
     for key, tol in (("rgb", 0.04), ("depth", 0.1), ("inbound_cnt", 0.02)):
@@ -426,6 +434,10 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         np.testing.assert_allclose(
             np.asarray(out_blm[key]), np.asarray(out_q[key]), atol=tol,
             err_msg=f"mono3 fold_lerp+fold_mask path: {key}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_bm4[key]), np.asarray(out_q[key]), atol=tol,
+            err_msg=f"mono4 packed path: {key}",
         )
     # quad packs the same fused maps into the channel dim: vs the 4-tap
     # fused mode only float summation order differs (both bf16 kernels)
