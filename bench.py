@@ -128,6 +128,7 @@ def main():
         # lerp-pass saving (21.5 s vs 19.3 s) — off by default
         pallas_fold_lerp=os.environ.get("BENCH_FOLD_LERP", "0") == "1",
         pallas_ablate=os.environ.get("BENCH_PALLAS_ABLATE", ""),
+        pallas_precompute_kv=os.environ.get("BENCH_PKV", "1") == "1",
     )
 
     data = make_contract_data(h=h, w=w, n_spatial=n_src, n_frames=12, tgt_time=0.5)

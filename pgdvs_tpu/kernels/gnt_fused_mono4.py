@@ -226,6 +226,8 @@ def _gnt_kernel4(
     v: int,
     feat_in: int,
     fold_mask_hw,
+    precompute_kv: bool,
+    ablate: str,
     rf_ref,      # [v, rb, s/2, 2*feat_in] bf16 packed sample pairs
     pts_ref,     # [rb, s/2, 6] f32 packed sample positions
     vcode_ref,   # [rb, 1, POSENC] bf16 per-ray view embedding
@@ -281,7 +283,7 @@ def _gnt_kernel4(
     tt_e = unit(centers[0:1] - xe)
     tt_o = unit(centers[0:1] - xo)
     rd_rows = []
-    for i in range(v):
+    for i in range(v if ablate != "nofold" else 0):
         c = centers[i + 1 : i + 2]
         ts_e, ts_o = unit(c - xe), unit(c - xo)
         de, do = tt_e - ts_e, tt_o - ts_o
@@ -296,14 +298,18 @@ def _gnt_kernel4(
                 axis=-1,
             )
         )
-    ray_diff = jnp.concatenate(rd_rows, axis=0).astype(dtype)  # [nv2, 8]
+    ray_diff = (
+        jnp.zeros((nv2, 8), dtype)
+        if ablate == "nofold"
+        else jnp.concatenate(rd_rows, axis=0).astype(dtype)
+    )  # [nv2, 8]
 
     # validity mask (project_points + pixel_inbound), dup across lane halves
     mh, mw = fold_mask_hw
     proj = proj_ref[:]
     ones64 = jnp.ones((1, NW), jnp.float32)
     mask_rows = []
-    for i in range(v):
+    for i in range(v if ablate != "nofold" else 0):
         p = proj[i]
         cols = []
         for xh in (xe, xo):
@@ -323,7 +329,11 @@ def _gnt_kernel4(
             )
             cols.append(inb.astype(jnp.float32) * ones64)  # [ns2, 64]
         mask_rows.append(jnp.concatenate(cols, axis=-1))   # [ns2, 128]
-    mask_col = jnp.concatenate(mask_rows, axis=0)           # [nv2, 128]
+    mask_col = (
+        jnp.ones((nv2, NP), jnp.float32)
+        if ablate == "nofold"
+        else jnp.concatenate(mask_rows, axis=0)
+    )                                                       # [nv2, 128]
 
     # pts sinusoidal embedding, packed lanes (6-groups of [e | o])
     pparts = [xyz]
@@ -335,7 +345,11 @@ def _gnt_kernel4(
     pts_code = jnp.concatenate(pparts, axis=-1)             # [ns2, 126]
     vcode = vcode_ref[:].astype(jnp.float32)                # [rb, 1, POSENC]
     vcode_b = jnp.broadcast_to(vcode, (rb, s2, POSENC)).reshape(ns2, POSENC)
-    pos_code = jnp.concatenate([pts_code, vcode_b], axis=-1).astype(dtype)
+    pos_code = (
+        jnp.zeros((ns2, 126 + POSENC), dtype)
+        if ablate == "nofold"
+        else jnp.concatenate([pts_code, vcode_b], axis=-1).astype(dtype)
+    )
 
     def vslice(x, i):
         return x[i * ns2 : (i + 1) * ns2]
@@ -353,11 +367,22 @@ def _gnt_kernel4(
     h = dense(rgb_feat, next_w(), next_w())
     h = dense(jax.nn.relu(h), next_w(), next_w())            # [nv2, 128]
 
-    # ---- cross-block precompute: 3 wide full-depth matmuls --------------
-    kp_all = dense(h, next_w())                              # [nv2, D*128]
-    vp_all = dense(h, next_w())
-    pos_in = jax.nn.relu(dense(ray_diff, next_w(), next_w()))
-    pos_all = dense(pos_in, next_w(), next_w())              # [nv2, D*128]
+    # ---- cross-block k/v/pos: either 3 wide full-depth matmuls (small rb;
+    # [nv2, D*128] residents) or per-block slices of the same weights
+    # (large rb; 1/DEPTH the VMEM residency at identical FLOPs) ------------
+    wk_all, wkv_all = next_w(), next_w()
+    p0w, p0b = next_w(), next_w()
+    p1w, p1b = next_w(), next_w()
+    pos_in = jax.nn.relu(
+        jnp.dot(
+            ray_diff, p0w.astype(dtype), preferred_element_type=jnp.float32
+        )
+        + p0b.astype(jnp.float32)
+    ).astype(dtype)
+    if precompute_kv:
+        kp_all = dense(h, wk_all)                            # [nv2, D*128]
+        vp_all = dense(h, wkv_all)
+        pos_all = dense(pos_in, p1w, p1b)                    # [nv2, D*128]
 
     q = vslice(h, 0)
     for i in range(1, v):
@@ -394,48 +419,69 @@ def _gnt_kernel4(
     weights_out = None
     for blk in range(DEPTH):
         bsl = slice(blk * NP, (blk + 1) * NP)
-        kp = kp_all[:, bsl]
-        vp = vp_all[:, bsl]
-        pos = pos_all[:, bsl]
+        if precompute_kv:
+            kp = kp_all[:, bsl]
+            vp = vp_all[:, bsl]
+            pos = pos_all[:, bsl]
+        else:
+            kp = dense(h, wk_all[:, bsl])
+            vp = dense(h, wkv_all[:, bsl])
+            # p1w is block-diagonal: the column slice keeps only this
+            # block's rows nonzero, so the full-width contraction is exact
+            pos = dense(pos_in, p1w[:, bsl], p1b[bsl])
 
-        x = layernorm2(q, next_w(), next_w())
-        qp = dense(x, next_w())
+        ln_s, ln_b = next_w(), next_w()
+        wqp = next_w()
         w_a0, b_a0 = next_w(), next_w()
         w_a1, b_a1 = next_w(), next_w()
-        qtile = jnp.concatenate([qp] * v, axis=0)
-        lg = dense(
-            jax.nn.relu(dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
-        )
-        lg = lg.astype(jnp.float32) + view_bias
-        val = (vp + pos).astype(jnp.float32)
+        w_out, b_out = next_w(), next_w()
+        ffn_s, ffn_b = next_w(), next_w()
+        wf1, bf1, wf2, bf2 = next_w(), next_w(), next_w(), next_w()
+        if ablate != "min" and ablate != "noview":
+            x = layernorm2(q, ln_s, ln_b)
+            qp = dense(x, wqp)
+            qtile = jnp.concatenate([qp] * v, axis=0)
+            lg = dense(
+                jax.nn.relu(dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
+            )
+            lg = lg.astype(jnp.float32) + view_bias
+            val = (vp + pos).astype(jnp.float32)
 
-        mx = vslice(lg, 0)
-        for i in range(1, v):
-            mx = jnp.maximum(mx, vslice(lg, i))
-        den = jnp.zeros((ns2, NP), jnp.float32)
-        agg = jnp.zeros((ns2, NP), jnp.float32)
-        for i in range(v):
-            ex = jnp.exp(vslice(lg, i) - mx)
-            den = den + ex
-            agg = agg + ex * vslice(val, i)
-        agg = (agg / den).astype(dtype)
+            mx = vslice(lg, 0)
+            for i in range(1, v):
+                mx = jnp.maximum(mx, vslice(lg, i))
+            den = jnp.zeros((ns2, NP), jnp.float32)
+            agg = jnp.zeros((ns2, NP), jnp.float32)
+            for i in range(v):
+                ex = jnp.exp(vslice(lg, i) - mx)
+                den = den + ex
+                agg = agg + ex * vslice(val, i)
+            agg = (agg / den).astype(dtype)
 
-        agg = dense(agg, next_w(), next_w())
-        x = agg + q
-        y = layernorm2(x, next_w(), next_w())
-        y = dense(jax.nn.relu(dense(y, next_w(), next_w())), next_w(), next_w())
-        q = y + x
+            agg = dense(agg, w_out, b_out)
+            x = agg + q
+            y = layernorm2(x, ffn_s, ffn_b)
+            y = dense(jax.nn.relu(dense(y, wf1, bf1)), wf2, bf2)
+            q = y + x
 
         if blk % 2 == 0:
-            qcat = jnp.concatenate([q, pos_code], axis=-1)   # [ns2, 317]
-            q = dense(qcat, next_w(), next_w())
-            q = dense(jax.nn.relu(q), next_w(), next_w())
+            wq0, bq0, wq1, bq1 = next_w(), next_w(), next_w(), next_w()
+            if ablate != "min":
+                qcat = jnp.concatenate([q, pos_code], axis=-1)  # [ns2, 317]
+                q = dense(qcat, wq0, bq0)
+                q = dense(jax.nn.relu(q), wq1, bq1)
 
         # ---- ray attention on the evens-then-odds sequence --------------
-        xr = layernorm2(q, next_w(), next_w())
+        rln_s, rln_b = next_w(), next_w()
         mcat = next_w()
         pcat = next_w()
         bo = next_w()
+        rffn_s, rffn_b = next_w(), next_w()
+        rf1, rb1, rf2, rb2 = next_w(), next_w(), next_w(), next_w()
+        if ablate in ("min", "noray"):
+            weights_out = jnp.full((rb, 1, s), 1.0 / s, jnp.float32)
+            continue
+        xr = layernorm2(q, rln_s, rln_b)
         xr_eo = unpack_eo(xr)                                # [rb, s, 64]
         z = jnp.dot(
             xr_eo.reshape(rb * s, NW), mcat.astype(dtype),
@@ -468,8 +514,8 @@ def _gnt_kernel4(
             w_acc = fr if w_acc is None else w_acc + fr
         out = (acc + bo.astype(jnp.float32)).astype(dtype)   # [rb, s, 64] eo
         xq = q + pack_eo(out)
-        y = layernorm2(xq, next_w(), next_w())
-        y = dense(jax.nn.relu(dense(y, next_w(), next_w())), next_w(), next_w())
+        y = layernorm2(xq, rffn_s, rffn_b)
+        y = dense(jax.nn.relu(dense(y, rf1, rb1)), rf2, rb2)
         q = xq + y
 
         weights_out = w_acc / HEADS                          # [rb, 1, s] eo
@@ -503,7 +549,13 @@ def _gnt_kernel4(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_block", "interpret", "fold_mask_hw"),
+    static_argnames=(
+        "ray_block",
+        "interpret",
+        "fold_mask_hw",
+        "precompute_kv",
+        "ablate",
+    ),
 )
 def gnt_fused_apply_mono4(
     gnt_params,
@@ -515,6 +567,8 @@ def gnt_fused_apply_mono4(
     fold_mask_hw,
     ray_block: int = 4,
     interpret: bool = False,
+    precompute_kv: bool = True,
+    ablate: str = "",
 ):
     """128-lane packed fused GNT forward (full fold set, views-outer only).
 
@@ -578,6 +632,7 @@ def gnt_fused_apply_mono4(
         functools.partial(
             _gnt_kernel4, ray_block, s, v, feat_in,
             (float(fold_mask_hw[0]), float(fold_mask_hw[1])),
+            precompute_kv, ablate,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -601,7 +656,7 @@ def gnt_fused_apply_mono4(
             jax.ShapeDtypeStruct((grid[0], ray_block, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=(100 if ray_block <= 4 else 127) * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)

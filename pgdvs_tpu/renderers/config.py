@@ -97,10 +97,16 @@ class RenderConfig:
     #                                view — never the case in the eval
     #                                protocols) may flip validity by 1 ulp vs
     #                                the XLA-side mask
-    pallas_ablate: str = ""        # perf-bisection only (mono2): skip kernel
-    #                                stages in situ ('no_view' | 'no_ray' |
-    #                                'no_softmax' | 'min') to attribute e2e
-    #                                render time; "" = full kernel
+    pallas_ablate: str = ""        # perf-bisection only (mono2/mono4): skip
+    #                                kernel stages in situ (mono2: 'no_view' |
+    #                                'no_ray' | 'no_softmax' | 'min'; mono4:
+    #                                'min' | 'noview' | 'noray' | 'nofold')
+    #                                to attribute e2e render time; "" = full
+    pallas_precompute_kv: bool = True  # mono4: precompute all-blocks k/v/pos
+    #                                as 3 wide [n, D*128] matmuls (VMEM-heavy;
+    #                                right for ray_block<=4) vs per-block
+    #                                slices (1/DEPTH the residency — required
+    #                                for ray_block>=8 to fit VMEM)
     epipolar_mode: str = "exact"   # 'exact' | 'fused' | 'quad' | 'quad_i8'
     #   Default is the reference-faithful sampler so evaluation numerics
     #   match the reference by default; bench/perf configs opt into 'quad'

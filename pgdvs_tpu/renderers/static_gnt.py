@@ -238,6 +238,8 @@ def render_rays_gnt(
                     (float(map_h), float(map_w)),
                     ray_block=cfg.pallas_ray_block,
                     interpret=jax.default_backend() == "cpu",
+                    precompute_kv=cfg.pallas_precompute_kv,
+                    ablate=cfg.pallas_ablate,
                 )
                 out = dict(out, view_std=None, view_std_normalized=None)
                 weights = out["weights"]

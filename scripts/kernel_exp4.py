@@ -42,13 +42,16 @@ centers = jax.vmap(cam_mod.flat_cam_c2w)(cams)[:, :3, 3]
 ray_d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
 vc = sinusoidal_embed(ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True))
 
+PKV = os.environ.get("KEXP_PKV", "1") == "1"
+ABL = os.environ.get("KEXP_ABLATE", "")
+
 if KIMPL == "mono4":
     from pgdvs_tpu.kernels.gnt_fused_mono4 import gnt_fused_apply_mono4
 
     def run(i):
         out = gnt_fused_apply_mono4(
             gp, rf, pts, vc, centers, projs, (float(H), float(W)),
-            ray_block=RB,
+            ray_block=RB, precompute_kv=PKV, ablate=ABL,
         )
         return float(jnp.sum(out["rgb"])) + float(jnp.sum(out["weights"]))
 else:
@@ -67,7 +70,8 @@ t0 = time.time()
 for i in range(3):
     _ = run(i)
 per_tile = (time.time() - t0) / 3
-print(json.dumps({"exp": f"kernel_{KIMPL}_rb{RB}_v{V}_s{S}_r{R}",
+print(json.dumps({"exp": f"kernel_{KIMPL}_rb{RB}_v{V}_s{S}_r{R}"
+                         f"_pkv{int(PKV)}_abl{ABL or 'none'}",
                   "compile_s": round(compile_s, 1),
                   "ms_per_tile": round(per_tile * 1e3, 1),
                   "s_per_image": round(per_tile * N_TILES, 2)}), flush=True)

@@ -41,11 +41,13 @@ def build_render():
         epipolar_mode=os.environ.get("BENCH_EPI_MODE", "quad"),
         use_pallas_gnt=os.environ.get("BENCH_PALLAS_GNT", "1") == "1",
         pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
-        pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono3"),
+        pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono4"),
         pallas_fold_ray_diff=os.environ.get("BENCH_FOLD_RAY_DIFF", "1") == "1",
         pallas_fold_pos_code=os.environ.get("BENCH_FOLD_POS_CODE", "1") == "1",
+        pallas_fold_mask=os.environ.get("BENCH_FOLD_MASK", "1") == "1",
         pallas_fold_lerp=os.environ.get("BENCH_FOLD_LERP", "0") == "1",
         pallas_ablate=os.environ.get("BENCH_PALLAS_ABLATE", ""),
+        pallas_precompute_kv=os.environ.get("BENCH_PKV", "1") == "1",
     )
     data = make_contract_data(h=h, w=w, n_spatial=n_src, n_frames=12, tgt_time=0.5)
     dev_data = {
