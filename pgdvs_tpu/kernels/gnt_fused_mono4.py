@@ -116,33 +116,55 @@ def flatten_gnt_params_mono4(gnt_params) -> List[jnp.ndarray]:
         return f"ray_trans_{'ab'[blk % 2]}"
 
     # ---- cross-block precompute weights, block-major paired lanes -------
-    wk_cat, wkv_cat, p0_cat, b0_cat, b1_cat = [], [], [], [], []
+    # Attention-chain composition (round 4): the k projection's ONLY
+    # consumer is attn_fc_0's bottleneck (k - q + pos) @ w_a0, and w_a0 is
+    # linear — so wk@w_a0, wq@w_a0 and p1@w_a0 are composed OFFLINE and the
+    # kernel never materializes kp nor runs a per-block a0 pass: the
+    # full-width kp matmul (1 MXU pass/block over all view tokens) and the
+    # a0 pass (another) collapse into ONE [128, 128] matmul for ALL 8
+    # blocks on each of the h / pos_in sides. Saves 2 of the 5 per-block
+    # view-token MXU passes (measured: the fused kernel is MXU-pass bound).
+    ka0_cat, wkv_cat, p0_cat, b0_cat, b1_cat, ca0_cat = [], [], [], [], [], []
+    wa0_by_blk = []
     p1_bd = jnp.zeros((DEPTH * 2 * PH, DEPTH * NP), jnp.float32)
+    pa0_bd = jnp.zeros((DEPTH * 2 * PH, DEPTH * 2 * PH), jnp.float32)
     for blk in range(DEPTH):
         wk = get(blk, vt(blk), "attn", "k_fc", "kernel")
         wv = get(blk, vt(blk), "attn", "v_fc", "kernel")
-        wk_cat.append(_d2(wk))                    # [128, 128]
+        wa0 = get(blk, vt(blk), "attn", "attn_fc_0", "kernel")  # [NW, PH]
+        ba0 = get(blk, vt(blk), "attn", "attn_fc_0", "bias")
+        wa0_by_blk.append(wa0)
+        ka0_cat.append(_d2(wk @ wa0))             # [128, 2*PH]
         wkv_cat.append(_d2(wk @ wv))
         p0_cat.append(_d2(get(blk, vt(blk), "attn", "pos_fc_0", "kernel")))
         b0_cat.append(_t2(get(blk, vt(blk), "attn", "pos_fc_0", "bias")))
         p1 = get(blk, vt(blk), "attn", "pos_fc_1", "kernel")  # [PH, NW]
+        b1 = get(blk, vt(blk), "attn", "pos_fc_1", "bias")
         r0 = blk * 2 * PH
         c0 = blk * NP
         p1_bd = p1_bd.at[r0 : r0 + PH, c0 : c0 + NW].set(p1)
         p1_bd = p1_bd.at[r0 + PH : r0 + 2 * PH, c0 + NW : c0 + NP].set(p1)
-        b1_cat.append(_t2(get(blk, vt(blk), "attn", "pos_fc_1", "bias")))
+        b1_cat.append(_t2(b1))
+        p1a0 = p1 @ wa0                           # [PH, PH]
+        pa0_bd = pa0_bd.at[r0 : r0 + PH, r0 : r0 + PH].set(p1a0)
+        pa0_bd = pa0_bd.at[r0 + PH : r0 + 2 * PH, r0 + PH : r0 + 2 * PH].set(
+            p1a0
+        )
+        ca0_cat.append(_t2(b1 @ wa0 + ba0))       # [2*PH]
 
     out = [
         _d2(p["rgbfeat_fc_0"]["kernel"]),
         _t2(p["rgbfeat_fc_0"]["bias"]),
         _d2(p["rgbfeat_fc_1"]["kernel"]),
         _t2(p["rgbfeat_fc_1"]["bias"]),
-        jnp.concatenate(wk_cat, axis=1),          # [128, DEPTH*128]
+        jnp.concatenate(ka0_cat, axis=1),         # [128, DEPTH*2*PH]
         jnp.concatenate(wkv_cat, axis=1),
         jnp.concatenate(p0_cat, axis=1),          # [8, DEPTH*2*PH]
         jnp.concatenate(b0_cat, axis=0),
         p1_bd,                                    # [DEPTH*2*PH, DEPTH*128]
         jnp.concatenate(b1_cat, axis=0),
+        pa0_bd,                                   # [DEPTH*2*PH, DEPTH*2*PH]
+        jnp.concatenate(ca0_cat, axis=0),
     ]
 
     pperm = _pts_lane_perm()
@@ -150,13 +172,24 @@ def flatten_gnt_params_mono4(gnt_params) -> List[jnp.ndarray]:
     for blk in range(DEPTH):
         v = vt(blk)
         r = rt(blk)
+        # q_fc composed with attn_fc_0, output embedded at this block's
+        # 2*PH lane group (columns blk*16..) so the kernel subtracts it
+        # from the full-width a0 sum with no lane slicing
+        wqa0 = _d2(get(blk, v, "attn", "q_fc", "kernel") @ wa0_by_blk[blk])
+        wqa0_emb = jnp.zeros((NP, DEPTH * 2 * PH), jnp.float32)
+        wqa0_emb = wqa0_emb.at[:, blk * 2 * PH : (blk + 1) * 2 * PH].set(wqa0)
+        # attn_fc_1 lifted to full width: rows outside this block's lane
+        # group are zero, so the relu'd garbage lanes of other blocks
+        # contribute nothing
+        wa1_emb = jnp.zeros((DEPTH * 2 * PH, NP), jnp.float32)
+        wa1_emb = wa1_emb.at[blk * 2 * PH : (blk + 1) * 2 * PH, :].set(
+            _d2(get(blk, v, "attn", "attn_fc_1", "kernel"))
+        )
         out += [
             _t2(get(blk, v, "attn_norm", "scale")),
             _t2(get(blk, v, "attn_norm", "bias")),
-            _d2(get(blk, v, "attn", "q_fc", "kernel")),
-            _d2(get(blk, v, "attn", "attn_fc_0", "kernel")),
-            _t2(get(blk, v, "attn", "attn_fc_0", "bias")),
-            _d2(get(blk, v, "attn", "attn_fc_1", "kernel")),
+            wqa0_emb,
+            wa1_emb,
             _t2(get(blk, v, "attn", "attn_fc_1", "bias")),
             _d2(get(blk, v, "attn", "out_fc", "kernel")),
             _t2(get(blk, v, "attn", "out_fc", "bias")),
@@ -367,20 +400,31 @@ def _gnt_kernel4(
     h = dense(rgb_feat, next_w(), next_w())
     h = dense(jax.nn.relu(h), next_w(), next_w())            # [nv2, 128]
 
-    # ---- cross-block k/v/pos: either 3 wide full-depth matmuls (small rb;
+    # ---- cross-block v/pos: either 2 wide full-depth matmuls (small rb;
     # [nv2, D*128] residents) or per-block slices of the same weights
-    # (large rb; 1/DEPTH the VMEM residency at identical FLOPs) ------------
-    wk_all, wkv_all = next_w(), next_w()
+    # (large rb; 1/DEPTH the VMEM residency at identical FLOPs). The k
+    # projection is composed into the a0 sum (see flatten) — ONE [128,128]
+    # matmul on each of the h / pos_in sides covers all 8 blocks ----------
+    ka0_all, wkv_all = next_w(), next_w()
     p0w, p0b = next_w(), next_w()
     p1w, p1b = next_w(), next_w()
+    pa0_w, ca0 = next_w(), next_w()
     pos_in = jax.nn.relu(
         jnp.dot(
             ray_diff, p0w.astype(dtype), preferred_element_type=jnp.float32
         )
         + p0b.astype(jnp.float32)
     ).astype(dtype)
+    # full-width (k + pos + bias) @ w_a0 for ALL blocks, kept in f32; the
+    # per-block q-side lands in its 16-lane group via wqa0_emb
+    a0sum = (
+        jnp.dot(h, ka0_all.astype(dtype), preferred_element_type=jnp.float32)
+        + jnp.dot(
+            pos_in, pa0_w.astype(dtype), preferred_element_type=jnp.float32
+        )
+        + ca0.astype(jnp.float32)
+    )                                                        # [nv2, 128] f32
     if precompute_kv:
-        kp_all = dense(h, wk_all)                            # [nv2, D*128]
         vp_all = dense(h, wkv_all)
         pos_all = dense(pos_in, p1w, p1b)                    # [nv2, D*128]
 
@@ -420,30 +464,31 @@ def _gnt_kernel4(
     for blk in range(DEPTH):
         bsl = slice(blk * NP, (blk + 1) * NP)
         if precompute_kv:
-            kp = kp_all[:, bsl]
             vp = vp_all[:, bsl]
             pos = pos_all[:, bsl]
         else:
-            kp = dense(h, wk_all[:, bsl])
             vp = dense(h, wkv_all[:, bsl])
             # p1w is block-diagonal: the column slice keeps only this
             # block's rows nonzero, so the full-width contraction is exact
             pos = dense(pos_in, p1w[:, bsl], p1b[bsl])
 
         ln_s, ln_b = next_w(), next_w()
-        wqp = next_w()
-        w_a0, b_a0 = next_w(), next_w()
-        w_a1, b_a1 = next_w(), next_w()
+        wqa0_emb = next_w()
+        wa1_emb, b_a1 = next_w(), next_w()
         w_out, b_out = next_w(), next_w()
         ffn_s, ffn_b = next_w(), next_w()
         wf1, bf1, wf2, bf2 = next_w(), next_w(), next_w(), next_w()
         if ablate != "min" and ablate != "noview":
             x = layernorm2(q, ln_s, ln_b)
-            qp = dense(x, wqp)
-            qtile = jnp.concatenate([qp] * v, axis=0)
-            lg = dense(
-                jax.nn.relu(dense(kp - qtile + pos, w_a0, b_a0)), w_a1, b_a1
+            # q-side of the composed a0 chain, embedded at this block's
+            # lane group; other lanes carry other blocks' (stale-q) values
+            # which wa1_emb's zero rows discard after the relu
+            qa = jnp.dot(
+                x, wqa0_emb.astype(dtype), preferred_element_type=jnp.float32
             )
+            qtile = jnp.concatenate([qa] * v, axis=0)        # [nv2, 128] f32
+            t = jax.nn.relu(a0sum - qtile).astype(dtype)
+            lg = dense(t, wa1_emb, b_a1)
             lg = lg.astype(jnp.float32) + view_bias
             val = (vp + pos).astype(jnp.float32)
 
@@ -585,6 +630,11 @@ def gnt_fused_apply_mono4(
     order here, XLA-side).
     """
     v, r, s, feat_in = rgb_feat.shape
+    if ablate not in ("", "min", "noview", "noray", "nofold"):
+        # a typo (or a mono2-style spelling like 'no_view') would silently
+        # run the FULL kernel and corrupt perf-attribution data (ADVICE r3)
+        raise ValueError(f"mono4 ablate must be one of "
+                         f"''/min/noview/noray/nofold, got {ablate!r}")
     if s % 2 != 0 or (s // 2) % 8 != 0:
         raise ValueError(f"mono4 needs s/2 a multiple of 8, got s={s}")
     if r % ray_block != 0:

@@ -57,6 +57,166 @@ def flatten_quad_maps(qmaps, scales=None) -> FlatQuadMaps:
     return FlatQuadMaps(qmaps.reshape(v * h * w, c4), (v, h, w), scales)
 
 
+class FlatPatchMaps(NamedTuple):
+    """4x4-pixel patch maps flattened to the gather's 2D row table.
+
+    Row (y, x) stores the 16 fused-map pixels (y..y+3, x..x+3)
+    (edge-clamped), i-major/j-minor: channel block p = i*4 + j.
+
+    Rationale (the round-4 gather redesign): TPU gathers pay mostly per
+    *row*, but the rate decays only mildly with row width (measured
+    143 M rows/s at 280 B rows vs 85 M rows/s at 1120 B —
+    scripts/gather_width_exp2.py). Adjacent target rays project ~1 px
+    apart in every source view (the target->source reprojection at fixed
+    depth is a homography with Jacobian ~ I for rig-like cameras), so ONE
+    4x4-patch row serves all four taps of a 2x2 block of target rays:
+    4x fewer gather rows than the quad map for the same sampled values.
+    The epipolar gather was 5.2 s of the 13.1 s/view round-3 bench
+    (fusion.2061 in scripts/profile_render_trace.py); this cuts it ~4x.
+    """
+
+    flat: jnp.ndarray          # [V*H*W, 16C]
+    vhw: Tuple[int, int, int]  # static (V, H, W)
+
+
+PATCH_FOOT = 4  # patch footprint (pixels per axis); offsets span [0, 2]
+
+
+def build_patch_maps(src_rgbs, src_feats, dtype=None) -> FlatPatchMaps:
+    """Fused maps with a 4x4-pixel footprint packed into channels.
+
+    Returns FlatPatchMaps with rows [V*H*W, 16*C]; row (y, x) holds fused
+    pixels (y+i, x+j) for i, j in 0..3 (edge-clamped), at channel block
+    i*4+j. ~16x the fused-map memory (1.8 GB at eval scale) — a fine trade
+    on a 16 GB chip for a ~4 s/view gather saving.
+    """
+    fused = build_fused_maps(src_rgbs, src_feats, None, dtype=dtype)
+
+    def shift_x(m, j):
+        if j == 0:
+            return m
+        return jnp.concatenate(
+            [m[:, :, j:], jnp.repeat(m[:, :, -1:], j, axis=2)], axis=2
+        )
+
+    def shift_y(m, i):
+        if i == 0:
+            return m
+        return jnp.concatenate(
+            [m[:, i:], jnp.repeat(m[:, -1:], i, axis=1)], axis=1
+        )
+
+    xcat = jnp.concatenate([shift_x(fused, j) for j in range(4)], axis=-1)
+    patch = jnp.concatenate([shift_y(xcat, i) for i in range(4)], axis=-1)
+    v, h, w, c16 = patch.shape
+    return FlatPatchMaps(patch.reshape(v * h * w, c16), (v, h, w))
+
+
+def epipolar_sample_patch(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
+    """Patch-map epipolar sampling: ONE gather row per (2x2 ray block,
+    sample, view).
+
+    REQUIRES rays ordered in 2x2 pixel blocks (render_image_gnt's patch
+    ray permutation): rays 4b..4b+3 must be the 2x2 target-pixel block b,
+    so their taps in every source view fall within ~2 px of each other.
+
+    Per (view, block, sample) the anchor cell is the min (edge-clamped)
+    stencil cell over the block's in-reach taps; each tap's 2x2 bilinear
+    stencil is extracted from the gathered 4x4 patch at offsets
+    (dy, dx) in [0, 2]^2. Taps whose cell falls outside the patch
+    (block spread > 2 px — geometrically ~impossible for rig-like
+    cameras, see FlatPatchMaps) are clamped to the patch border: a
+    bounded <=2 px sampling shift, never a wrong view or garbage row.
+
+    Values match quad_bilinear to bf16 addition-order (the 4 stencil
+    contributions accumulate in index order rather than pairwise).
+
+    Returns the fold-everything kernel contract (views-outer, no mask /
+    ray_diff — both recomputed in-kernel): {rgb_feat [V, R, S, C],
+    ray_diff/mask/mask_inbound/mask_invalid: None}.
+    """
+    (v, h, w), flat = pmaps.vhw, pmaps.flat
+    c16 = flat.shape[-1]
+    c = c16 // 16
+    uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
+    r, s = pts.shape[0], pts.shape[1]
+    if r % 4 != 0:
+        raise ValueError(f"patch mode needs rays % 4 == 0, got {r}")
+    b = r // 4
+
+    x, y = uv[..., 0], uv[..., 1]
+    sx = jnp.clip(jnp.floor(x), 0, max(w - 2, 0))
+    sy = jnp.clip(jnp.floor(y), 0, max(h - 2, 0))
+
+    # anchor: min stencil cell over the block's taps that can contribute
+    # (|reach| < 1 px of the image); all-out-of-reach blocks gather an
+    # arbitrary valid row — every tap weight is 0
+    reach = (x > -1.0) & (x < float(w)) & (y > -1.0) & (y < float(h))
+    big = jnp.float32(1e9)
+    ax = jnp.clip(
+        jnp.min(jnp.where(reach, sx, big).reshape(v, b, 4, s), axis=2),
+        0,
+        max(w - 4, 0),
+    )
+    ay = jnp.clip(
+        jnp.min(jnp.where(reach, sy, big).reshape(v, b, 4, s), axis=2),
+        0,
+        max(h - 4, 0),
+    )
+
+    offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
+    base = ay.astype(jnp.int32) * w + ax.astype(jnp.int32) + offs  # [V,B,S]
+    # rows stay FLAT [v, b, s, 16C] and are consumed via minor-dim lane
+    # slices inside ONE loop fusion — reshaping to [.., 16, C] makes XLA
+    # re-lay the gather output pixel-major and copy every slice (measured
+    # ~3.4 s/view of relayouts, /tmp/trace_r4_patch)
+    rows = jnp.take(flat, base.reshape(-1), axis=0, mode="clip").reshape(
+        v, b, s, c16
+    )
+
+    def per_tap(q):
+        # [V, R, S] -> [v, b, s, 4] (ray LAST: the extraction output is
+        # ray-minor so each patch row is read once, then one transpose)
+        return q.reshape(v, b, 4, s).transpose(0, 1, 3, 2)
+
+    # per-tap zero-pad bilinear weights (exact quad_bilinear semantics)
+    wx0 = per_tap(jnp.maximum(0.0, 1.0 - jnp.abs(x - sx)))
+    wx1 = per_tap(jnp.maximum(0.0, 1.0 - jnp.abs(x - (sx + 1.0))))
+    wy0 = per_tap(jnp.maximum(0.0, 1.0 - jnp.abs(y - sy)))
+    wy1 = per_tap(jnp.maximum(0.0, 1.0 - jnp.abs(y - sy - 1.0)))
+    dx = jnp.clip(per_tap(sx) - ax[:, :, :, None], 0.0, 2.0)
+    dy = jnp.clip(per_tap(sy) - ay[:, :, :, None], 0.0, 2.0)
+
+    # separable selection: coef(i, j) = cy_i * cx_j, 8 selects per tap
+    # instead of 16 two-hot masks
+    dt = rows.dtype
+    cy = [
+        (wy0 * (dy == float(i)) + wy1 * (dy == float(i - 1))).astype(dt)
+        for i in range(4)
+    ]
+    cx = [
+        (wx0 * (dx == float(j)) + wx1 * (dx == float(j - 1))).astype(dt)
+        for j in range(4)
+    ]
+    out = jnp.zeros((v, b, s, 4, c), dt)
+    for i in range(4):
+        for j in range(4):
+            p = i * 4 + j
+            out = out + (
+                rows[:, :, :, None, p * c : (p + 1) * c]
+                * (cy[i] * cx[j])[..., None]
+            )
+
+    rgb_feat = out.transpose(0, 1, 3, 2, 4).reshape(v, r, s, c)
+    return {
+        "rgb_feat": rgb_feat,
+        "ray_diff": None,
+        "mask": None,
+        "mask_inbound": None,
+        "mask_invalid": None,
+    }
+
+
 def multiview_bilinear(imgs, x, y, zero_pad: bool = True):
     """Bilinear sampling of V same-size maps with one flat gather space.
 

@@ -107,7 +107,7 @@ class RenderConfig:
     #                                right for ray_block<=4) vs per-block
     #                                slices (1/DEPTH the residency — required
     #                                for ray_block>=8 to fit VMEM)
-    epipolar_mode: str = "exact"   # 'exact' | 'fused' | 'quad' | 'quad_i8'
+    epipolar_mode: str = "exact"   # 'exact'|'fused'|'quad'|'quad_i8'|'patch'
     #   Default is the reference-faithful sampler so evaluation numerics
     #   match the reference by default; bench/perf configs opt into 'quad'
     #   (bench.py sets it explicitly).
@@ -120,10 +120,24 @@ class RenderConfig:
     #          at benchmark scale, scripts/gather_exp3.py; 4x map memory)
     #   quad_i8: quad with per-channel int8 maps (2x smaller gather rows;
     #          quantization sits below the network's bf16 precision)
+    #   patch: quad values from ONE 4x4-pixel row per (2x2 ray block,
+    #          sample, view) — 4x fewer gather rows (FlatPatchMaps
+    #          docstring); requires the fused-kernel fold path (mono3/4 +
+    #          fold_ray_diff/pos_code/mask, no dyn mask) and falls back to
+    #          'quad' with a warning otherwise
     dyn_point_capacity: int = 0    # max dynamic points kept for the pcl
     #                                rasterizer / KNN / track branch (0 =
     #                                dense H*W buffer); compaction via
     #                                fixed-size nonzero gather
+    track_queries_per_frame: int = 0  # tracker query capacity per tracking
+    #                                frame. 0 = every pixel (H*W) — the
+    #                                reference tracks ALL dyn-mask pixels
+    #                                (pgdvs_renderer_dyn_track.py:480-488),
+    #                                so the faithful default can never drop
+    #                                a trackable point; >0 caps capacity
+    #                                (dyn pixels selected first) to trade
+    #                                recall on very large dynamic regions
+    #                                for tracker cost
     knn_tile: int = 2048
 
     def replace(self, **kw) -> "RenderConfig":

@@ -26,11 +26,14 @@ from pgdvs_tpu.core import cameras, sampling
 from pgdvs_tpu.models.gnt.network import GNT
 from pgdvs_tpu.models.gnt.feature_net import ResUNet
 from pgdvs_tpu.models.gnt.projector import (
+    FlatPatchMaps,
     FlatQuadMaps,
     build_fused_maps,
+    build_patch_maps,
     build_quad_maps,
     epipolar_sample,
     epipolar_sample_fused,
+    epipolar_sample_patch,
     epipolar_sample_quad_raw,
     flatten_quad_maps,
     quantize_quad_maps,
@@ -144,7 +147,7 @@ def render_rays_gnt(
         and cfg.pallas_fold_mask
         and cfg.pallas_fold_ray_diff
         and not cfg.gnt_use_dyn_mask
-        and isinstance(src_fused_maps, FlatQuadMaps)
+        and isinstance(src_fused_maps, (FlatQuadMaps, FlatPatchMaps))
     )
     if fold_mask:
         separate_mask = False
@@ -158,6 +161,14 @@ def render_rays_gnt(
         and cfg.n_coarse_samples_per_ray % 16 == 0
     ):
         kernel_name = "mono3"
+        if cfg.pallas_ablate or not cfg.pallas_precompute_kv:
+            # an ablation/pkv run that silently measured the full mono3
+            # kernel would corrupt perf-attribution data (ADVICE r3)
+            raise ValueError(
+                "pallas_ablate/pallas_precompute_kv are mono4-only but the "
+                "config forces the mono3 fallback (fold set or sample-count "
+                "mismatch)"
+            )
     # mono2: pre-pack the mask channel at the sampler (single packed input)
     pack_mask = (
         use_pallas
@@ -176,7 +187,11 @@ def render_rays_gnt(
     )
 
     def gnt_pass(pts, z_vals):
-        if src_fused_maps is not None:
+        if isinstance(src_fused_maps, FlatPatchMaps):
+            # one gather row per (2x2 ray block, sample, view); validity,
+            # ray-diff and pos-code all recomputed in-kernel (fold_* path)
+            proj = epipolar_sample_patch(pts, tgt_cam, src_cams, src_fused_maps)
+        elif src_fused_maps is not None:
             if isinstance(src_fused_maps, FlatQuadMaps):
                 maps, scales = src_fused_maps, src_fused_maps.scales
             elif isinstance(src_fused_maps, tuple):
@@ -211,6 +226,11 @@ def render_rays_gnt(
             kname = kernel_name
             if kname == "mono4" and pts.shape[1] % 16 != 0:
                 kname = "mono3"  # e.g. odd merged coarse+fine sample count
+                if cfg.pallas_ablate or not cfg.pallas_precompute_kv:
+                    raise ValueError(
+                        "pallas_ablate/pallas_precompute_kv are mono4-only "
+                        f"but sample count {pts.shape[1]} forces mono3"
+                    )
             if kname == "mono4":
                 from pgdvs_tpu.kernels.gnt_fused_mono4 import (
                     gnt_fused_apply_mono4,
@@ -431,8 +451,50 @@ def render_image_gnt(
     h, w = image_hw
     feats = feature_net.apply(params["feature_net"], src_rgbs)
 
+    rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
+        h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),
+        stride=cfg.render_stride,
+    )
+    n_rays = rh * rw
+
+    epipolar_mode = cfg.epipolar_mode
+    if epipolar_mode == "patch":
+        # patch mode is the fold-everything fused-kernel fast path; any
+        # configuration it cannot serve falls back to quad (per-tap rows)
+        # LOUDLY — a silent fallback would corrupt perf-attribution data
+        # (ADVICE r3) and quad is numerically equivalent, just slower
+        patch_ok = (
+            cfg.use_pallas_gnt
+            and cfg.pallas_kernel in ("mono3", "mono4")
+            and not cfg.gnt_use_dyn_mask
+            and cfg.pallas_fold_ray_diff
+            and cfg.pallas_fold_pos_code
+            and cfg.pallas_fold_mask
+            and not gnt.ret_view_std
+            and gnt.netwidth == 64
+            and gnt.depth == 8
+            and rh % 2 == 0
+            and rw % 2 == 0
+            and min(cfg.ray_tile, n_rays) % 4 == 0
+            and min(cfg.ray_tile, n_rays) % cfg.pallas_ray_block == 0
+        )
+        if not patch_ok:
+            import warnings
+
+            warnings.warn(
+                "epipolar_mode='patch' requires the fused-kernel fold path "
+                "(use_pallas_gnt + fold_ray_diff/pos_code/mask, no dyn mask, "
+                "no view-std, even render dims); falling back to 'quad'",
+                stacklevel=2,
+            )
+            epipolar_mode = "quad"
+
     fused_maps = None
-    if cfg.epipolar_mode in ("fused", "quad", "quad_i8"):
+    if epipolar_mode == "patch":
+        fused_maps = build_patch_maps(
+            src_rgbs, feats, dtype=gnt.dtype if gnt.dtype != "float32" else None
+        )
+    elif epipolar_mode in ("fused", "quad", "quad_i8"):
         build = (
             build_quad_maps
             if cfg.epipolar_mode.startswith("quad")
@@ -449,21 +511,35 @@ def render_image_gnt(
             # consumes the samples in bf16 anyway, so per-channel int8
             # quantization is below its activation precision
             fused_maps = flatten_quad_maps(*quantize_quad_maps(fused_maps))
-        elif cfg.epipolar_mode == "quad":
+        elif epipolar_mode == "quad":
             # flatten to the gather's 2D row table HERE — outside the ray
             # tile loop — so the relayout transpose runs once per image,
             # not once per tile (FlatQuadMaps docstring)
             fused_maps = flatten_quad_maps(fused_maps)
 
-    rays_o, rays_d, _uv, (rh, rw) = cameras.get_rays(
-        h, w, cameras.flat_cam_intrinsics(tgt_cam), cameras.flat_cam_c2w(tgt_cam),
-        stride=cfg.render_stride,
-    )
-    n_rays = rh * rw
     if depth_range.ndim == 1:
         dr = jnp.broadcast_to(depth_range, (n_rays, 2))
     else:
         dr = depth_range[:: cfg.render_stride, :: cfg.render_stride].reshape(-1, 2)
+
+    inv_perm = None
+    if epipolar_mode == "patch":
+        # reorder rays into 2x2 pixel blocks so consecutive groups of 4
+        # rays (one fused-kernel ray block) share one patch gather row per
+        # (sample, view); outputs are un-permuted at unpad
+        import numpy as np
+
+        perm = (
+            np.arange(n_rays)
+            .reshape(rh // 2, 2, rw // 2, 2)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+        inv_perm = jnp.asarray(np.argsort(perm))
+        perm = jnp.asarray(perm)
+        rays_o = rays_o[perm]
+        rays_d = rays_d[perm]
+        dr = dr[perm]
 
     tile = min(cfg.ray_tile, n_rays)
     n_pad = -(-n_rays // tile) * tile
@@ -497,6 +573,8 @@ def render_image_gnt(
 
     def unpad(x):
         flat = x.reshape((n_pad,) + x.shape[2:])[:n_rays]
+        if inv_perm is not None:
+            flat = flat[inv_perm]
         return flat.reshape((rh, rw) + x.shape[2:])
 
     out = {k: unpad(v) for k, v in tiled.items()}

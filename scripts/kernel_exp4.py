@@ -70,8 +70,10 @@ t0 = time.time()
 for i in range(3):
     _ = run(i)
 per_tile = (time.time() - t0) / 3
-print(json.dumps({"exp": f"kernel_{KIMPL}_rb{RB}_v{V}_s{S}_r{R}"
-                         f"_pkv{int(PKV)}_abl{ABL or 'none'}",
+# pkv/abl only affect mono4 — tagging them on mono3 baselines would label
+# runs with options that had no effect (ADVICE r3)
+opt_tag = f"_pkv{int(PKV)}_abl{ABL or 'none'}" if KIMPL == "mono4" else ""
+print(json.dumps({"exp": f"kernel_{KIMPL}_rb{RB}_v{V}_s{S}_r{R}{opt_tag}",
                   "compile_s": round(compile_s, 1),
                   "ms_per_tile": round(per_tile * 1e3, 1),
                   "s_per_image": round(per_tile * N_TILES, 2)}), flush=True)

@@ -365,12 +365,16 @@ def test_mono3_all_invalid_rows_finite(setup):
     assert np.isfinite(np.asarray(out["weights"])).all()
 
 
-def test_mono4_matches_mono3_fold_mask(setup):
+@pytest.mark.parametrize("pkv", [True, False])
+def test_mono4_matches_mono3_fold_mask(setup, pkv):
     """128-lane packed kernel vs mono3 on the full fold set (ray_diff +
     pos_code + mask all computed in-kernel from pts + cameras). mono4
-    changes only lane layout and the ray-attention sample order
-    (evens-then-odds, exact by permutation equivariance), so agreement is
-    bf16-rounding bounded."""
+    changes only lane layout, the ray-attention sample order
+    (evens-then-odds, exact by permutation equivariance) and the composed
+    attention bottleneck chain (wk/wq/p1 folded through attn_fc_0 offline,
+    exact by linearity), so agreement is bf16-rounding bounded. Both
+    precompute_kv modes are exercised (the per-block slices are a
+    column-slice identity of the wide matmuls — ADVICE r3)."""
     from pgdvs_tpu.core import cameras as cam_mod
     from pgdvs_tpu.kernels.gnt_fused_mono3 import gnt_fused_apply_mono3
     from pgdvs_tpu.kernels.gnt_fused_mono4 import gnt_fused_apply_mono4
@@ -411,7 +415,7 @@ def test_mono4_matches_mono3_fold_mask(setup):
     )
     got = gnt_fused_apply_mono4(
         params, rf_outer, pts, vc, centers, projs, (h, w),
-        ray_block=8, interpret=True,
+        ray_block=8, interpret=True, precompute_kv=pkv,
     )
     np.testing.assert_allclose(
         np.asarray(got["rgb"]), np.asarray(ref["rgb"]), atol=0.02, rtol=0.02

@@ -330,6 +330,71 @@ def test_quad_epipolar_matches_fused():
     np.testing.assert_array_equal(np.asarray(pk["packed"]), np.asarray(want))
 
 
+def test_patch_epipolar_matches_quad():
+    """Patch-map sampling (one 4x4 row per 2x2 ray block) must reproduce
+    quad-map sampling wherever the block's taps fit the patch — which for
+    translation-only cameras (reprojection Jacobian == I, rig-like) is
+    everywhere."""
+    import jax
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.models.gnt.projector import (
+        build_fused_maps,
+        build_patch_maps,
+        build_quad_maps,
+        epipolar_sample_fused,
+        epipolar_sample_patch,
+        flatten_quad_maps,
+    )
+
+    rng = np.random.default_rng(17)
+    v, h, w, f = 3, 32, 40, 8
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 40.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.1 * i - 0.1, -0.05 * i, 0.02 * i]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    tgt_c2w = np.eye(4)
+    tgt_c2w[:3, 3] = [0.013, 0.007, -0.031]
+    tgt = jnp.asarray(cam_mod.make_flat_cam(h, w, k, tgt_c2w), jnp.float32)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(v, h // 4, w // 4, f)).astype(np.float32))
+
+    # rays in 2x2 pixel blocks (the patch ray ordering), sampled along depth
+    rays_o, rays_d, _uv, (rh, rw) = cam_mod.get_rays(
+        h, w, cam_mod.flat_cam_intrinsics(tgt), cam_mod.flat_cam_c2w(tgt)
+    )
+    perm = (
+        np.arange(rh * rw)
+        .reshape(rh // 2, 2, rw // 2, 2)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    sel = perm[128:192]  # 16 blocks away from the top border
+    s = 8
+    z = jnp.linspace(1.5, 6.0, s)
+    pts = (
+        jnp.asarray(rays_o)[sel][:, None, :]
+        + z[None, :, None] * jnp.asarray(rays_d)[sel][:, None, :]
+    )
+
+    qmaps = flatten_quad_maps(build_quad_maps(rgbs, feats, None))
+    pmaps = build_patch_maps(rgbs, feats)
+    quad = epipolar_sample_fused(
+        pts, tgt, cams, qmaps, with_mask=False, quad=True, views_outer=True,
+        with_ray_diff=False, emit_mask=False,
+    )
+    patch = epipolar_sample_patch(pts, tgt, cams, pmaps)
+    np.testing.assert_allclose(
+        np.asarray(patch["rgb_feat"], np.float32),
+        np.asarray(quad["rgb_feat"], np.float32),
+        atol=1e-5,
+    )
+
+
 @pytest.mark.slow
 def test_render_rays_quad_views_outer_matches_exact_flax():
     """Full render_rays_gnt: quad+views_outer+pallas(interpret) path must
@@ -414,12 +479,20 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         pallas_kernel="mono4", pallas_fold_ray_diff=True,
         pallas_fold_pos_code=True, pallas_fold_mask=True,
     )
+    # patch: one 4x4 gather row per 2x2 ray block (the round-4 bench mode)
+    cfg_bench_patch = RenderConfig(
+        **base, epipolar_mode="patch", use_pallas_gnt=True,
+        pallas_ray_block=4, pallas_kernel="mono4",
+        pallas_fold_ray_diff=True, pallas_fold_pos_code=True,
+        pallas_fold_mask=True,
+    )
 
     out_e, out_f, out_q = render(cfg_exact), render(cfg_fused), render(cfg_quad)
     out_b = render(cfg_bench)
     out_bfm = render(cfg_bench_fm)
     out_blm = render(cfg_bench_lm)
     out_bm4 = render(cfg_bench_m4)
+    out_bp = render(cfg_bench_patch)
     # slightly looser rgb bound than quad-vs-fused: the in-kernel ray diff
     # rounds through bf16 at a different point than the XLA-side stream
     for key, tol in (("rgb", 0.04), ("depth", 0.1), ("inbound_cnt", 0.02)):
@@ -438,6 +511,10 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         np.testing.assert_allclose(
             np.asarray(out_bm4[key]), np.asarray(out_q[key]), atol=tol,
             err_msg=f"mono4 packed path: {key}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_bp[key]), np.asarray(out_q[key]), atol=tol,
+            err_msg=f"patch-gather path: {key}",
         )
     # quad packs the same fused maps into the channel dim: vs the 4-tap
     # fused mode only float summation order differs (both bf16 kernels)
