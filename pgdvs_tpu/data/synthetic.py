@@ -133,12 +133,15 @@ def make_contract_data(
     n_frames: int = 8,
     tgt_time: float = 0.5,
     seed: int = 0,
+    k_track: int = 0,
 ):
     """Assemble a full renderer-contract dict for one novel view.
 
     The target camera is a held-out pose at fractional time ``tgt_time``;
     temporal sources are the two nearest integer frames; spatial sources are
-    the n nearest cameras.
+    the n nearest cameras. ``k_track > 0`` additionally emits the ±K
+    track-source keys the track branch consumes (rgb/dyn_mask/depth/
+    flat_cam/time/n_actual _src_track_{fwd,bwd}).
     """
     k = intrinsics(h, w)
     times = np.linspace(0.0, 1.0, n_frames)
@@ -219,4 +222,31 @@ def make_contract_data(
     st_pcl = np.concatenate([np.concatenate(pcl), np.concatenate(rgbs)], axis=1)
     data["st_pcl_rgb"] = st_pcl.astype(np.float32)
     data["st_pcl_valid"] = np.ones((st_pcl.shape[0],), bool)
+
+    if k_track > 0:
+        # ±K tracking windows around the temporal pair, padded with copies
+        # of the nearest real frame when the sequence runs out (the
+        # reference pads with the temporal frames themselves —
+        # pgdvs_renderer_dyn_track.py:599-764; n_actual marks real slots)
+        fwd_ids = [max(j, 0) for j in range(i1 - k_track, i1)]
+        bwd_ids = [min(j, n_frames - 1) for j in range(i2 + 1, i2 + 1 + k_track)]
+        n_fwd = sum(1 for j in range(i1 - k_track, i1) if j >= 0)
+        n_bwd = sum(1 for j in range(i2 + 1, i2 + 1 + k_track) if j < n_frames)
+        for name, ids, n_act in (("fwd", fwd_ids, n_fwd), ("bwd", bwd_ids, n_bwd)):
+            data[f"rgb_src_track_{name}"] = np.stack(
+                [frames[j]["rgb"] for j in ids]
+            )
+            data[f"dyn_mask_src_track_{name}"] = np.stack(
+                [frames[j]["dyn_mask"] for j in ids]
+            )
+            data[f"depth_src_track_{name}"] = np.stack(
+                [frames[j]["depth"] for j in ids]
+            )
+            data[f"flat_cam_src_track_{name}"] = np.stack(
+                [flat(poses[j]) for j in ids]
+            )
+            data[f"time_src_track_{name}"] = np.asarray(
+                [times[j] for j in ids], np.float32
+            )
+            data[f"n_actual_src_track_{name}"] = np.array([n_act], np.int64)
     return data

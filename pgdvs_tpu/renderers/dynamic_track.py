@@ -223,7 +223,6 @@ def render_with_track(
     cfg: RenderConfig,
     tracker,
     base_pcl: dict,
-    queries_per_frame: int = 2048,
 ):
     """Full track branch: track -> lift -> filter -> merge -> rasterize.
 
@@ -233,11 +232,16 @@ def render_with_track(
       base_pcl: dict from ``compute_dyn_pointcloud`` (points/colors/valid/
         nn_dist_thres).
 
+    Query capacity comes from ``cfg.track_queries_per_frame``; the default
+    (0 = every pixel) matches the reference, which tracks ALL dyn-mask
+    pixels (pgdvs_renderer_dyn_track.py:480-488) — no silent drop.
+
     Returns {'rgb': [H, W, 3], 'mask': [H, W, 1]}.
     """
     h, w = data["rgb_src_temporal"].shape[1:3]
     stack = build_track_stack(data)
-    queries, q_valid = select_queries(stack, queries_per_frame)
+    q_cap = cfg.track_queries_per_frame or h * w
+    queries, q_valid = select_queries(stack, q_cap)
 
     any_queries = jnp.any(q_valid)
     tracks, visibles = tracker(stack["rgbs"], queries, q_valid)

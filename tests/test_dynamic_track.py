@@ -88,6 +88,26 @@ def test_select_queries_picks_dynamic_pixels(data):
         assert masks[t, y, x, 0] > 0
 
 
+def test_default_capacity_covers_all_dyn_pixels(data):
+    """The default capacity (track_queries_per_frame=0 -> H*W) must issue a
+    valid query for EVERY dyn-mask pixel — the reference tracks all of them
+    (pgdvs_renderer_dyn_track.py:480-488). Regression: a fixed 2048 cap used
+    to silently drop trackable pixels when a dynamic region exceeded it."""
+    d = _dev(data)
+    # inflate the dynamic region of a track frame past any fixed small cap
+    big = np.zeros((2, H, W, 1), np.float32)
+    big[0, : H // 2] = 1.0  # H/2 * W = 1536 dyn pixels in frame 0... scale up
+    big[0] = 1.0  # all H*W = 3072 pixels dynamic (> the old 2048 cap)
+    d["dyn_mask_src_track_fwd"] = jnp.asarray(big)
+    stack = build_track_stack(d)
+    cfg = RenderConfig()
+    q_cap = cfg.track_queries_per_frame or H * W
+    queries, valid = select_queries(stack, q_cap)
+    queries, valid = np.asarray(queries), np.asarray(valid)
+    n_valid_f0 = valid[queries[:, 0].astype(int) == 0].sum()
+    assert n_valid_f0 == H * W  # every dyn pixel queried, none dropped
+
+
 def test_track_branch_renders_occluded_content(data):
     cfg = RenderConfig(
         dyn_render_track_temporal="no_tgt",
