@@ -112,11 +112,15 @@ def main():
     h, w = 288, 550
     n_src = 10
     cfg = RenderConfig(
-        n_coarse_samples_per_ray=256,
+        n_coarse_samples_per_ray=int(os.environ.get("BENCH_N_COARSE", "256")),
+        n_fine_samples_per_ray=int(os.environ.get("BENCH_N_FINE", "0")),
         sample_inv_uniform=True,
         gnt_use_masked_spatial_src=True,
-        ray_tile=int(os.environ.get("BENCH_RAY_TILE", "4096")),
-        epipolar_mode=os.environ.get("BENCH_EPI_MODE", "quad"),
+        # rt 2048 + patch measured fastest (8.92 s/view): patch rows at
+        # rt 4096 gain nothing (8.97) and quad's larger combine fusions
+        # favored 4096 — see STATUS.md round-4 trajectory
+        ray_tile=int(os.environ.get("BENCH_RAY_TILE", "2048")),
+        epipolar_mode=os.environ.get("BENCH_EPI_MODE", "patch"),
         use_pallas_gnt=os.environ.get("BENCH_PALLAS_GNT", "1") == "1",
         pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
         pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono4"),
@@ -223,6 +227,7 @@ def main():
         "device": str(jax.devices()[0]),
         "n_src": n_src,
         "n_samples": cfg.n_coarse_samples_per_ray,
+        "n_fine": cfg.n_fine_samples_per_ray,
         "iters": n_iters,
         "iter_min_s": round(min(iter_s), 3),
         "iter_max_s": round(max(iter_s), 3),

@@ -35,14 +35,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pgdvs_tpu.kernels.gnt_fused_mono2 import _dense, _layernorm
-
 NW = 64
 DEPTH = 8
 HEADS = 4
 POSENC = 63
 NEG = -1e30
 PH = 8  # pos/attn bottleneck hidden width (netwidth // 8)
+
+
+def _layernorm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def _dense(x, w, b=None):
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def flatten_gnt_params_mono3(gnt_params) -> List[jnp.ndarray]:

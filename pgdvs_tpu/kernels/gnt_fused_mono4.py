@@ -97,8 +97,14 @@ def _pts_lane_perm() -> np.ndarray:
     return np.asarray(lanes, np.int32)  # [126, 2]
 
 
-def flatten_gnt_params_mono4(gnt_params) -> List[jnp.ndarray]:
-    """Flax GNT params -> mono4 packed weight list (see module docstring)."""
+def flatten_gnt_params_mono4(gnt_params, patch_combine: bool = False) -> List[jnp.ndarray]:
+    """Flax GNT params -> mono4 packed weight list (see module docstring).
+
+    patch_combine: emit rgbfeat_fc_0 TILED 16x along rows ([16C, NW]) so the
+    in-kernel patch combine's position-reduce matmul and the first rgbfeat
+    projection are ONE matmul: (rows * coef_exp) @ tile16(W0) ==
+    (sum_p rows_p * coef_p) @ W0 by linearity.
+    """
     p = gnt_params["params"]
     bp = p["block_pairs"]
 
@@ -152,8 +158,9 @@ def flatten_gnt_params_mono4(gnt_params) -> List[jnp.ndarray]:
         )
         ca0_cat.append(_t2(b1 @ wa0 + ba0))       # [2*PH]
 
+    w0 = jnp.asarray(p["rgbfeat_fc_0"]["kernel"], jnp.float32)  # [C, NW]
     out = [
-        _d2(p["rgbfeat_fc_0"]["kernel"]),
+        jnp.concatenate([w0] * 16, axis=0) if patch_combine else _d2(w0),
         _t2(p["rgbfeat_fc_0"]["bias"]),
         _d2(p["rgbfeat_fc_1"]["kernel"]),
         _t2(p["rgbfeat_fc_1"]["bias"]),
@@ -261,14 +268,27 @@ def _gnt_kernel4(
     fold_mask_hw,
     precompute_kv: bool,
     ablate: str,
-    rf_ref,      # [v, rb, s/2, 2*feat_in] bf16 packed sample pairs
-    pts_ref,     # [rb, s/2, 6] f32 packed sample positions
-    vcode_ref,   # [rb, 1, POSENC] bf16 per-ray view embedding
-    centers_ref,  # [v+1, 3] f32 target + source camera centers
-    proj_ref,    # [v, 3, 4] f32 K @ w2c rows
-    sel_ref,     # [128, 128] f32 block-diag half-averaging matrix (J64/64)
-    *rest,
+    patch_combine: bool,
+    s_real: int,
+    *refs,
 ):
+    # operand layout (patch_combine=False):
+    #   rf_ref      [v, rb, s/2, 2*feat_in] bf16 packed sample pairs
+    # operand layout (patch_combine=True):
+    #   rows_ref    [v, rb/4, s, 16*feat_in] bf16 raw gathered patch rows
+    #   coef_ref    [v, rb/4, 4, s, 16] bf16 per-tap stencil coefficients
+    # then both:
+    #   pts_ref     [rb, s/2, 6] f32 packed sample positions
+    #   vcode_ref   [rb, 1, POSENC] bf16 per-ray view embedding
+    #   centers_ref [v+1, 3] f32 target + source camera centers
+    #   proj_ref    [v, 3, 4] f32 K @ w2c rows
+    #   sel_ref     [128, 128] f32 block-diag half-averaging matrix (J64/64)
+    if patch_combine:
+        rows_ref, coef_ref, e_ref = refs[:3]
+        pts_ref, vcode_ref, centers_ref, proj_ref, sel_ref, *rest = refs[3:]
+    else:
+        rf_ref = refs[0]
+        pts_ref, vcode_ref, centers_ref, proj_ref, sel_ref, *rest = refs[1:]
     weight_refs = rest[:-3]
     rgb_out_ref, w_out_ref, cnt_out_ref = rest[-3:]
     widx = [0]
@@ -300,8 +320,6 @@ def _gnt_kernel4(
         return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
             dtype
         )
-
-    rgb_feat = rf_ref[:].reshape(nv2, 2 * feat_in).astype(dtype)
 
     # ---- in-VMEM folds from the packed sample positions ------------------
     eps = 1e-6
@@ -397,8 +415,41 @@ def _gnt_kernel4(
         0.0,
     )
 
-    h = dense(rgb_feat, next_w(), next_w())
-    h = dense(jax.nn.relu(h), next_w(), next_w())            # [nv2, 128]
+    if patch_combine:
+        # ---- in-kernel patch combine, composed with rgbfeat_fc_0 --------
+        # (sum_p rows_p * coef_p) @ W0 == (rows * expand(coef)) @ tile16(W0)
+        # by linearity: the [*, C]-minor combined tensor (which XLA pads to
+        # 128 lanes — 3.7x wasted HBM traffic) never exists anywhere.
+        bstep = rb // 4
+        c16 = 16 * feat_in
+        n_rs = v * bstep * s
+        rows2d = rows_ref[:].reshape(n_rs, c16).astype(dtype)
+        coef = coef_ref[:].reshape(v * bstep, 4, s, 16)
+        w0t, b0 = next_w(), next_w()   # [16C, NW] tiled W0; [128] pair bias
+        # coef lane expansion operand: E[p, l] = 1 iff l // feat_in == p
+        E = e_ref[:].astype(dtype)
+        hs = []
+        for t in range(4):
+            ce = jnp.dot(
+                coef[:, t].reshape(n_rs, 16).astype(dtype), E,
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            h0 = jnp.dot(
+                rows2d * ce, w0t.astype(dtype),
+                preferred_element_type=jnp.float32,
+            ).reshape(v * bstep, s, NW)                      # [vb, s, 64] f32
+            # half-split pair packing (tokens k and k + s/2 share a row):
+            # a contiguous lane concat, unlike adjacent-pair interleaving
+            hs.append(
+                jnp.concatenate([h0[:, :s2], h0[:, s2:]], axis=-1)[:, None]
+            )
+        h0p = jnp.concatenate(hs, axis=1).reshape(nv2, NP)   # [v*rb*s2, 128]
+        h = (h0p + b0.astype(jnp.float32)).astype(dtype)
+        h = dense(jax.nn.relu(h), next_w(), next_w())        # [nv2, 128]
+    else:
+        rgb_feat = rf_ref[:].reshape(nv2, 2 * feat_in).astype(dtype)
+        h = dense(rgb_feat, next_w(), next_w())
+        h = dense(jax.nn.relu(h), next_w(), next_w())        # [nv2, 128]
 
     # ---- cross-block v/pos: either 2 wide full-depth matmuls (small rb;
     # [nv2, D*128] residents) or per-block slices of the same weights
@@ -459,6 +510,21 @@ def _gnt_kernel4(
         return jnp.concatenate([x[:, :s2], x[:, s2:]], axis=-1).reshape(
             ns2, NP
         )
+
+    # sample-pad masking (s_real < s when the merged coarse+fine count was
+    # padded to the 16-multiple the lane packing needs): pad tokens are
+    # excluded from every cross-token op — ray-attention keys get a NEG
+    # logit bias and the final pool zeroes them — so results equal the
+    # unpadded network exactly (pad QUERY rows compute garbage that is
+    # sliced off / zero-weighted, never read)
+    pad_neg = None
+    if s_real != s:
+        seq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+        if patch_combine:
+            tq = seq  # half-split pairing: unpacked order IS true order
+        else:
+            tq = jnp.where(seq < s2, 2 * seq, 2 * (seq - s2) + 1)
+        pad_neg = jnp.where(tq >= s_real, NEG, 0.0).astype(jnp.float32)
 
     weights_out = None
     for blk in range(DEPTH):
@@ -546,6 +612,8 @@ def _gnt_kernel4(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
+            if pad_neg is not None:
+                lgh = lgh + pad_neg
             lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
             exh = jnp.exp(lgh)
             attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
@@ -568,11 +636,23 @@ def _gnt_kernel4(
     hq = layernorm2(q, next_w(), next_w())
     # mean over samples of both lane halves, via the half-sum selection
     # matmul (lane-sliced adds don't lower in Mosaic)
-    pool_tok = jnp.dot(
-        hq, 0.5 * (sel_e + sel_o).astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )                                                        # [ns2, 64]
-    pooled = jnp.mean(pool_tok.reshape(rb, s2, NW), axis=1)  # [rb, 64]
+    if s_real != s:
+        # zero pad tokens before pooling; divide by the REAL sample count
+        rowk = jax.lax.broadcasted_iota(jnp.int32, (ns2, NP), 0) % s2
+        half = jax.lax.broadcasted_iota(jnp.int32, (ns2, NP), 1) // NW
+        tq2 = (rowk + half * s2) if patch_combine else (2 * rowk + half)
+        hqm = jnp.where(tq2 < s_real, hq.astype(jnp.float32), 0.0)
+        pool_tok = jnp.dot(
+            hqm, (sel_e + sel_o).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        pooled = jnp.sum(pool_tok.reshape(rb, s2, NW), axis=1) / s_real
+    else:
+        pool_tok = jnp.dot(
+            hq, 0.5 * (sel_e + sel_o).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )                                                    # [ns2, 64]
+        pooled = jnp.mean(pool_tok.reshape(rb, s2, NW), axis=1)  # [rb, 64]
     rgb = dense(pooled.astype(dtype), next_w(), next_w())
 
     rgb_out_ref[0] = rgb.astype(jnp.float32)
@@ -614,48 +694,129 @@ def gnt_fused_apply_mono4(
     interpret: bool = False,
     precompute_kv: bool = True,
     ablate: str = "",
+    patch_rows=None,
+    patch_coef=None,
 ):
     """128-lane packed fused GNT forward (full fold set, views-outer only).
 
     Args:
-      rgb_feat: [V, R, S, C] bf16 sampled features, NO mask channel.
+      rgb_feat: [V, R, S, C] bf16 sampled features, NO mask channel — or
+        None with patch_rows/patch_coef (the in-kernel combine path).
       pts: [R, S, 3] f32 world sample positions.
       view_code: [R, POSENC] per-ray view-direction embedding.
       cam_centers: [V+1, 3] target-then-sources camera centers.
       proj_mats: [V, 3, 4] (or [V, 4, 4]) K @ w2c rows.
       fold_mask_hw: static (H, W) of the source maps for inbound checks.
+      patch_rows/patch_coef: raw patch-gather rows [V, R/4, S, 16C] +
+        stencil coefficients [V, R/4, 4, S, 16]
+        (``epipolar_sample_patch_raw``); the stencil combine happens inside
+        the kernel, composed into rgbfeat_fc_0. Requires ray_block % 4 == 0
+        and rays ordered in 2x2 pixel blocks.
 
     Returns {rgb [R, 3], weights [R, S], inbound_cnt_raw [R]} — identical
-    contract to mono3's fold_mask path (weights un-permuted to true sample
-    order here, XLA-side).
+    contract to mono3's fold_mask path (weights in true sample order).
     """
-    v, r, s, feat_in = rgb_feat.shape
+    patch_combine = patch_rows is not None
+    if patch_combine:
+        v, nb, s, c16 = patch_rows.shape
+        feat_in = c16 // 16
+        r = nb * 4
+        if ray_block % 4 != 0:
+            raise ValueError(
+                f"patch_rows needs ray_block % 4 == 0, got {ray_block}"
+            )
+    else:
+        v, r, s, feat_in = rgb_feat.shape
     if ablate not in ("", "min", "noview", "noray", "nofold"):
         # a typo (or a mono2-style spelling like 'no_view') would silently
         # run the FULL kernel and corrupt perf-attribution data (ADVICE r3)
         raise ValueError(f"mono4 ablate must be one of "
                          f"''/min/noview/noray/nofold, got {ablate!r}")
-    if s % 2 != 0 or (s // 2) % 8 != 0:
-        raise ValueError(f"mono4 needs s/2 a multiple of 8, got s={s}")
     if r % ray_block != 0:
         raise ValueError(f"rays {r} not divisible by ray_block {ray_block}")
-    weights = flatten_gnt_params_mono4(gnt_params)
+    # sample-count padding: the lane packing needs s % 16 == 0 (s/2 packed
+    # pairs in sublane multiples of 8). Odd merged coarse+fine counts are
+    # PADDED, and the pad tokens masked out of ray attention + pooling in
+    # the kernel — exact, no silent mono3 fallback (VERDICT r3 item 6)
+    s_real = s
+    if s % 16 != 0:
+        s_pad = -(-s // 16) * 16
+        dpad = s_pad - s
+        pts = jnp.concatenate(
+            [pts, jnp.repeat(pts[:, -1:], dpad, axis=1)], axis=1
+        )
+        if patch_combine:
+            patch_rows = jnp.concatenate(
+                [patch_rows, jnp.repeat(patch_rows[:, :, -1:], dpad, axis=2)],
+                axis=2,
+            )
+            patch_coef = jnp.concatenate(
+                [
+                    patch_coef,
+                    jnp.zeros(
+                        patch_coef.shape[:3] + (dpad, 16), patch_coef.dtype
+                    ),
+                ],
+                axis=3,
+            )
+        else:
+            rgb_feat = jnp.concatenate(
+                [
+                    rgb_feat,
+                    jnp.zeros((v, r, dpad, feat_in), rgb_feat.dtype),
+                ],
+                axis=2,
+            )
+        s = s_pad
+    weights = flatten_gnt_params_mono4(gnt_params, patch_combine=patch_combine)
     grid = (r // ray_block,)
     s2 = s // 2
 
-    packed = rgb_feat.astype(jnp.bfloat16).reshape(v, r, s2, 2 * feat_in)
-    pts_p = pts.astype(jnp.float32).reshape(r, s2, 6)
+    if patch_combine:
+        # half-split sample pairing (token k pairs with k + s/2): the pack
+        # is then a contiguous lane concat in VMEM, and the unpacked ray-
+        # attention sequence / weights come out in TRUE sample order
+        pts_p = jnp.concatenate(
+            [pts[:, :s2, :], pts[:, s2:, :]], axis=-1
+        ).astype(jnp.float32)
+        bstep = ray_block // 4
+        data_specs = [
+            pl.BlockSpec(
+                (v, bstep, s, c16), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (v, bstep, 4, s, 16), lambda i: (0, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        data_ops = [
+            patch_rows.astype(jnp.bfloat16),
+            patch_coef.astype(jnp.bfloat16),
+            jnp.asarray(
+                np.kron(np.eye(16), np.ones((1, feat_in))), jnp.bfloat16
+            ),
+        ]
+    else:
+        # adjacent pairing (2k, 2k+1): free at the HBM input boundary
+        # ([V, R, S, C] row-major regroups to [V, R, S/2, 2C] in place)
+        packed = rgb_feat.astype(jnp.bfloat16).reshape(v, r, s2, 2 * feat_in)
+        pts_p = pts.astype(jnp.float32).reshape(r, s2, 6)
+        data_specs = [
+            pl.BlockSpec(
+                (v, ray_block, s2, 2 * feat_in),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        data_ops = [packed]
     vcode = view_code.astype(jnp.bfloat16)[:, None, :]
     sel = jax.lax.convert_element_type(
         jnp.kron(jnp.eye(2), jnp.full((NW, NW), 1.0 / NW)), jnp.float32
     )
 
-    in_specs = [
-        pl.BlockSpec(
-            (v, ray_block, s2, 2 * feat_in),
-            lambda i: (0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+    in_specs = data_specs + [
         pl.BlockSpec(
             (ray_block, s2, 6), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -667,8 +828,7 @@ def gnt_fused_apply_mono4(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    operands = [
-        packed,
+    operands = data_ops + [
         pts_p,
         vcode,
         jnp.asarray(cam_centers, jnp.float32),
@@ -682,7 +842,7 @@ def gnt_fused_apply_mono4(
         functools.partial(
             _gnt_kernel4, ray_block, s, v, feat_in,
             (float(fold_mask_hw[0]), float(fold_mask_hw[1])),
-            precompute_kv, ablate,
+            precompute_kv, ablate, patch_combine, s_real,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -710,11 +870,18 @@ def gnt_fused_apply_mono4(
         ),
         interpret=interpret,
     )(*operands)
-    # un-permute the evens-then-odds weights to true sample order
-    w_eo = w.reshape(r, s)
-    w_true = (
-        jnp.stack([w_eo[:, :s2], w_eo[:, s2:]], axis=-1).reshape(r, s)
-    )
+    if patch_combine:
+        # half-split pairing: the kernel's unpacked sequence IS true
+        # sample order — no un-permute
+        w_true = w.reshape(r, s)
+    else:
+        # un-permute the evens-then-odds weights to true sample order
+        w_eo = w.reshape(r, s)
+        w_true = (
+            jnp.stack([w_eo[:, :s2], w_eo[:, s2:]], axis=-1).reshape(r, s)
+        )
+    if s_real != s:
+        w_true = w_true[:, :s_real]  # pad samples carry ~0 weight
     return {
         "rgb": rgb.reshape(r, 3),
         "weights": w_true,

@@ -31,6 +31,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pgdvs_tpu.core import cameras
 
@@ -112,32 +113,13 @@ def build_patch_maps(src_rgbs, src_feats, dtype=None) -> FlatPatchMaps:
     return FlatPatchMaps(patch.reshape(v * h * w, c16), (v, h, w))
 
 
-def epipolar_sample_patch(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
-    """Patch-map epipolar sampling: ONE gather row per (2x2 ray block,
-    sample, view).
+def _patch_gather(pts, src_cams, pmaps: FlatPatchMaps):
+    """Shared patch-gather core: anchor selection + the ONE row gather.
 
-    REQUIRES rays ordered in 2x2 pixel blocks (render_image_gnt's patch
-    ray permutation): rays 4b..4b+3 must be the 2x2 target-pixel block b,
-    so their taps in every source view fall within ~2 px of each other.
-
-    Per (view, block, sample) the anchor cell is the min (edge-clamped)
-    stencil cell over the block's in-reach taps; each tap's 2x2 bilinear
-    stencil is extracted from the gathered 4x4 patch at offsets
-    (dy, dx) in [0, 2]^2. Taps whose cell falls outside the patch
-    (block spread > 2 px — geometrically ~impossible for rig-like
-    cameras, see FlatPatchMaps) are clamped to the patch border: a
-    bounded <=2 px sampling shift, never a wrong view or garbage row.
-
-    Values match quad_bilinear to bf16 addition-order (the 4 stencil
-    contributions accumulate in index order rather than pairwise).
-
-    Returns the fold-everything kernel contract (views-outer, no mask /
-    ray_diff — both recomputed in-kernel): {rgb_feat [V, R, S, C],
-    ray_diff/mask/mask_inbound/mask_invalid: None}.
+    Returns (rows [v, b, s, 16C], x, y, sx, sy [V, R, S], ax, ay [v, b, s]).
     """
     (v, h, w), flat = pmaps.vhw, pmaps.flat
     c16 = flat.shape[-1]
-    c = c16 // 16
     uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
     r, s = pts.shape[0], pts.shape[1]
     if r % 4 != 0:
@@ -173,6 +155,81 @@ def epipolar_sample_patch(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
     rows = jnp.take(flat, base.reshape(-1), axis=0, mode="clip").reshape(
         v, b, s, c16
     )
+    return rows, x, y, sx, sy, ax, ay
+
+
+def epipolar_sample_patch_raw(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
+    """Raw patch rows + per-tap stencil coefficients for the IN-KERNEL
+    combine (mono4 ``patch_rows`` mode).
+
+    The combined [V, R, S, C] tensor never exists in HBM: the kernel
+    multiplies each row's 16 stencil positions by ``coef`` and feeds the
+    result straight into rgbfeat_fc_0 (the XLA-side combine's [*, 35]-minor
+    tensors pad to 128 lanes — 3.7x wasted HBM bandwidth, measured
+    ~3.4 s/view at bench scale, /tmp/trace_r4_patch).
+
+    Geometry/weights identical to :func:`epipolar_sample_patch`; only where
+    the multiply-accumulate happens differs (kernel accumulates in f32 via
+    the MXU vs bf16 XLA adds — deviation within bf16 rounding).
+
+    Returns {"rows": [v, b, s, 16C], "coef": [v, b, 4, s, 16] bf16}
+    (taps in a LEADING dim: the kernel slices them at index level).
+    """
+    rows, x, y, sx, sy, ax, ay = _patch_gather(pts, src_cams, pmaps)
+    v, b, s, c16 = rows.shape
+
+    def by_tap(q):  # [V, R, S] -> [v, b, 4, s] (no transpose needed)
+        return q.reshape(v, b, 4, s)
+
+    wx0 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(x - sx)))
+    wx1 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(x - (sx + 1.0))))
+    wy0 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(y - sy)))
+    wy1 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(y - sy - 1.0)))
+    dx = jnp.clip(by_tap(sx) - ax[:, :, None, :], 0.0, 2.0)
+    dy = jnp.clip(by_tap(sy) - ay[:, :, None, :], 0.0, 2.0)
+
+    # ONE broadcast fusion against the 16 static stencil offsets — a
+    # per-position stack would materialize 16 [v,b,4,s,1] f32 temps whose
+    # minor dim pads 128x (2.5 GB each at bench scale)
+    pi = jnp.asarray(np.arange(16) // 4, jnp.float32)
+    pj = jnp.asarray(np.arange(16) % 4, jnp.float32)
+    cy16 = wy0[..., None] * (dy[..., None] == pi) + wy1[..., None] * (
+        dy[..., None] == pi - 1.0
+    )
+    cx16 = wx0[..., None] * (dx[..., None] == pj) + wx1[..., None] * (
+        dx[..., None] == pj - 1.0
+    )
+    coef = (cy16 * cx16).astype(rows.dtype)  # [v, b, 4, s, 16]
+    return {"rows": rows, "coef": coef}
+
+
+def epipolar_sample_patch(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
+    """Patch-map epipolar sampling: ONE gather row per (2x2 ray block,
+    sample, view).
+
+    REQUIRES rays ordered in 2x2 pixel blocks (render_image_gnt's patch
+    ray permutation): rays 4b..4b+3 must be the 2x2 target-pixel block b,
+    so their taps in every source view fall within ~2 px of each other.
+
+    Per (view, block, sample) the anchor cell is the min (edge-clamped)
+    stencil cell over the block's in-reach taps; each tap's 2x2 bilinear
+    stencil is extracted from the gathered 4x4 patch at offsets
+    (dy, dx) in [0, 2]^2. Taps whose cell falls outside the patch
+    (block spread > 2 px — geometrically ~impossible for rig-like
+    cameras, see FlatPatchMaps) are clamped to the patch border: a
+    bounded <=2 px sampling shift, never a wrong view or garbage row.
+
+    Values match quad_bilinear to bf16 addition-order (the 4 stencil
+    contributions accumulate in index order rather than pairwise).
+
+    Returns the fold-everything kernel contract (views-outer, no mask /
+    ray_diff — both recomputed in-kernel): {rgb_feat [V, R, S, C],
+    ray_diff/mask/mask_inbound/mask_invalid: None}.
+    """
+    rows, x, y, sx, sy, ax, ay = _patch_gather(pts, src_cams, pmaps)
+    v, b, s, c16 = rows.shape
+    c = c16 // 16
+    r = pts.shape[0]
 
     def per_tap(q):
         # [V, R, S] -> [v, b, s, 4] (ray LAST: the extraction output is

@@ -57,17 +57,20 @@ class RenderConfig:
     #                                plain XLA flax apply (also used whenever
     #                                view-std diagnostics are requested)
     pallas_ray_block: int = 4      # rays per fused-kernel grid step
-    pallas_kernel: str = "mono"    # 'mono': one 8-block kernel per grid step
-    #                                (fastest; compiles in ~20 min cold);
-    #                                'mono2': restructured mono (folded ray
-    #                                attention, hoisted view matmuls) — same
-    #                                runtime, compiles ~4x faster;
-    #                                'mono3': mono2 + cross-block width
-    #                                folding of the k/v/pos projections
-    #                                (3 wide matmuls replace 32 narrow ones);
+    pallas_kernel: str = "mono4"   # 'mono4': 128-lane sample-pair packing +
+    #                                composed attention chains (fastest;
+    #                                requires the full fold set + s%16==0 and
+    #                                silently runs mono3 otherwise);
+    #                                'mono3': 64-lane kernel with cross-block
+    #                                width-folded k/v/pos projections — the
+    #                                general fallback (dyn-mask, fine counts,
+    #                                partial fold sets; compiles ~4-5 min);
     #                                'split': per-block view/ray kernels
-    #                                (compiles in seconds; ~1.4x slower)
-    pallas_fold_ray_diff: bool = False  # mono2/mono3: compute the ray-diff
+    #                                (compiles in seconds; ~1.4x slower).
+    #                                mono/mono2 (earlier generations, retired
+    #                                round 4): mono was runtime-equal to
+    #                                mono3 but cold-compiled in ~20 min
+    pallas_fold_ray_diff: bool = False  # mono3/mono4: compute the ray-diff
     #                                code inside the kernel (skips the XLA
     #                                [V, R, S, 4] materialization)
     pallas_fold_pos_code: bool = False  # mono3 (+fold_ray_diff): build the
@@ -97,11 +100,10 @@ class RenderConfig:
     #                                view — never the case in the eval
     #                                protocols) may flip validity by 1 ulp vs
     #                                the XLA-side mask
-    pallas_ablate: str = ""        # perf-bisection only (mono2/mono4): skip
-    #                                kernel stages in situ (mono2: 'no_view' |
-    #                                'no_ray' | 'no_softmax' | 'min'; mono4:
-    #                                'min' | 'noview' | 'noray' | 'nofold')
-    #                                to attribute e2e render time; "" = full
+    pallas_ablate: str = ""        # perf-bisection only (mono4): skip kernel
+    #                                stages in situ ('min' | 'noview' |
+    #                                'noray' | 'nofold') to attribute e2e
+    #                                render time; "" = full
     pallas_precompute_kv: bool = True  # mono4: precompute all-blocks k/v/pos
     #                                as 3 wide [n, D*128] matmuls (VMEM-heavy;
     #                                right for ray_block<=4) vs per-block

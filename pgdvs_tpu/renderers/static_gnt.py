@@ -34,6 +34,7 @@ from pgdvs_tpu.models.gnt.projector import (
     epipolar_sample,
     epipolar_sample_fused,
     epipolar_sample_patch,
+    epipolar_sample_patch_raw,
     epipolar_sample_quad_raw,
     flatten_quad_maps,
     quantize_quad_maps,
@@ -126,7 +127,7 @@ def render_rays_gnt(
 
     fold_ray_diff = (
         use_pallas
-        and cfg.pallas_kernel in ("mono2", "mono3", "mono4")
+        and cfg.pallas_kernel in ("mono3", "mono4")
         and cfg.pallas_fold_ray_diff
         and src_fused_maps is not None
     )
@@ -152,13 +153,17 @@ def render_rays_gnt(
     if fold_mask:
         separate_mask = False
     # mono4 (128-lane sample-pair packing) supports ONLY the full fold set
-    # (fold_ray_diff + fold_pos_code + fold_mask, even sample pairs); any
-    # other configuration silently runs mono3, whose fallbacks cover it
+    # (fold_ray_diff + fold_pos_code + fold_mask); any other configuration
+    # silently runs mono3, whose fallbacks cover it. Odd merged coarse+fine
+    # sample counts are handled by mono4 itself (pad + in-kernel masking)
     kernel_name = cfg.pallas_kernel
+    if use_pallas and kernel_name not in ("mono3", "mono4", "split"):
+        raise ValueError(
+            f"unknown pallas_kernel {kernel_name!r} (mono/mono2 were retired "
+            "after mono3/mono4 superseded them; valid: mono3 | mono4 | split)"
+        )
     if kernel_name == "mono4" and not (
-        fold_mask
-        and cfg.pallas_fold_pos_code
-        and cfg.n_coarse_samples_per_ray % 16 == 0
+        fold_mask and cfg.pallas_fold_pos_code
     ):
         kernel_name = "mono3"
         if cfg.pallas_ablate or not cfg.pallas_precompute_kv:
@@ -166,15 +171,9 @@ def render_rays_gnt(
             # kernel would corrupt perf-attribution data (ADVICE r3)
             raise ValueError(
                 "pallas_ablate/pallas_precompute_kv are mono4-only but the "
-                "config forces the mono3 fallback (fold set or sample-count "
-                "mismatch)"
+                "config forces the mono3 fallback (fold-set mismatch)"
             )
-    # mono2: pre-pack the mask channel at the sampler (single packed input)
-    pack_mask = (
-        use_pallas
-        and cfg.pallas_kernel == "mono2"
-        and src_fused_maps is not None
-    )
+    pack_mask = False  # retired with the mono2 kernel generation
     # mono3 fold_lerp: stream raw quad rows + frac; bilinear combine
     # happens inside the kernel (no [V, R, S, C] lerp tensor in HBM);
     # composes with fold_mask (rows + frac, no mask operand at all)
@@ -187,10 +186,25 @@ def render_rays_gnt(
     )
 
     def gnt_pass(pts, z_vals):
+        patch_raw = False
         if isinstance(src_fused_maps, FlatPatchMaps):
             # one gather row per (2x2 ray block, sample, view); validity,
             # ray-diff and pos-code all recomputed in-kernel (fold_* path)
-            proj = epipolar_sample_patch(pts, tgt_cam, src_cams, src_fused_maps)
+            patch_raw = (
+                kernel_name == "mono4" and cfg.pallas_ray_block % 4 == 0
+            )
+            if patch_raw:
+                # mono4: raw rows + stencil coefficients; the combine runs
+                # inside the kernel composed with rgbfeat_fc_0 (the XLA
+                # combine's [*, C]-minor tensors pad to 128 lanes — ~3.4
+                # s/view of wasted HBM traffic at bench scale)
+                proj = epipolar_sample_patch_raw(
+                    pts, tgt_cam, src_cams, src_fused_maps
+                )
+            else:
+                proj = epipolar_sample_patch(
+                    pts, tgt_cam, src_cams, src_fused_maps
+                )
         elif src_fused_maps is not None:
             if isinstance(src_fused_maps, FlatQuadMaps):
                 maps, scales = src_fused_maps, src_fused_maps.scales
@@ -224,13 +238,6 @@ def render_rays_gnt(
             )
         if use_pallas:
             kname = kernel_name
-            if kname == "mono4" and pts.shape[1] % 16 != 0:
-                kname = "mono3"  # e.g. odd merged coarse+fine sample count
-                if cfg.pallas_ablate or not cfg.pallas_precompute_kv:
-                    raise ValueError(
-                        "pallas_ablate/pallas_precompute_kv are mono4-only "
-                        f"but sample count {pts.shape[1]} forces mono3"
-                    )
             if kname == "mono4":
                 from pgdvs_tpu.kernels.gnt_fused_mono4 import (
                     gnt_fused_apply_mono4,
@@ -250,7 +257,7 @@ def render_rays_gnt(
                 )
                 out = gnt_fused_apply_mono4(
                     gnt_params,
-                    proj["rgb_feat"],
+                    None if patch_raw else proj["rgb_feat"],
                     pts,
                     sinusoidal_embed(viewdirs),
                     centers,
@@ -260,6 +267,8 @@ def render_rays_gnt(
                     interpret=jax.default_backend() == "cpu",
                     precompute_kv=cfg.pallas_precompute_kv,
                     ablate=cfg.pallas_ablate,
+                    patch_rows=proj["rows"] if patch_raw else None,
+                    patch_coef=proj["coef"] if patch_raw else None,
                 )
                 out = dict(out, view_std=None, view_std_normalized=None)
                 weights = out["weights"]
@@ -279,15 +288,7 @@ def render_rays_gnt(
                     "view_std": std_c,
                     "view_std_normalized": std_c,
                 }
-            if kname == "mono":
-                from pgdvs_tpu.kernels.gnt_fused_mono import (
-                    gnt_fused_apply_mono as gnt_fused_apply,
-                )
-            elif kname == "mono2":
-                from pgdvs_tpu.kernels.gnt_fused_mono2 import (
-                    gnt_fused_apply_mono2 as gnt_fused_apply,
-                )
-            elif kname == "mono3":
+            if kname == "mono3":
                 from pgdvs_tpu.kernels.gnt_fused_mono3 import (
                     gnt_fused_apply_mono3 as gnt_fused_apply,
                 )
@@ -297,8 +298,6 @@ def render_rays_gnt(
 
             viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
             kern_kwargs = {}
-            if cfg.pallas_ablate and kname == "mono2":
-                kern_kwargs["ablate"] = cfg.pallas_ablate
             if separate_mask:
                 kern_kwargs["separate_mask"] = True
             if fold_mask:

@@ -42,10 +42,21 @@ def _configure_jax():
     jax.config.update("jax_compilation_cache_dir", "/tmp/pgdvs_tpu_jax_cache")
 
 
-def build_render_config(args):
+def build_render_config(args, base: dict = None):
+    """CLI --render-cfg overrides composed onto ``base`` (a restored run's
+    saved config) or the defaults.
+
+    Mirrors the reference's experiment-resume recompose: it reloads the old
+    run's ``overrides.yaml`` and appends the NEW CLI overrides on top
+    (``/root/reference/pgdvs/run.py:206-261``) — here the saved resolved
+    config is the base and new ``--render-cfg`` flags win.
+    """
     from pgdvs_tpu.renderers.config import RenderConfig
 
     fields = {f.name for f in dataclasses.fields(RenderConfig)}
+    base_cfg = RenderConfig(
+        **{k: v for k, v in (base or {}).items() if k in fields}
+    )
     overrides = {}
     for kv in args.render_cfg or []:
         k, _, v = kv.partition("=")
@@ -60,7 +71,7 @@ def build_render_config(args):
             overrides[k] = float(v)
         else:
             overrides[k] = v
-    return RenderConfig(**overrides)
+    return base_cfg.replace(**overrides)
 
 
 def _coerce(v: str):
@@ -155,7 +166,19 @@ def cmd_train(args):
 
     if args.resume and not args.out_dir:
         raise SystemExit("--resume needs --out-dir (the checkpoint directory)")
-    cfg = build_render_config(args)
+    saved = None
+    if args.resume:
+        from pgdvs_tpu.engines.checkpoint import load_run_config
+
+        saved = load_run_config(args.out_dir)
+    # resume recompose: restored config is the base, NEW CLI overrides win
+    cfg = build_render_config(args, base=(saved or {}).get("render_cfg"))
+    if args.out_dir:
+        from pgdvs_tpu.engines.checkpoint import save_run_config
+
+        save_run_config(
+            args.out_dir, {"render_cfg": dataclasses.asdict(cfg)}
+        )
     dataset = build_dataset(args)
     models, params = build_models_and_params(args, cfg)
     trainer = Trainer(

@@ -37,8 +37,8 @@ def build_render():
         n_coarse_samples_per_ray=256,
         sample_inv_uniform=True,
         gnt_use_masked_spatial_src=True,
-        ray_tile=int(os.environ.get("BENCH_RAY_TILE", "4096")),
-        epipolar_mode=os.environ.get("BENCH_EPI_MODE", "quad"),
+        ray_tile=int(os.environ.get("BENCH_RAY_TILE", "2048")),
+        epipolar_mode=os.environ.get("BENCH_EPI_MODE", "patch"),
         use_pallas_gnt=os.environ.get("BENCH_PALLAS_GNT", "1") == "1",
         pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
         pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono4"),

@@ -148,3 +148,35 @@ def test_run_train_cli(tmp_path):
     assert res2.returncode == 0, res2.stderr[-3000:]
     report2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert report2["epochs"] == 2
+
+
+def test_resume_recomposes_overrides(tmp_path):
+    """Resume recompose (reference run.py:206-261 semantics): the restored
+    run's saved config is the base and NEW CLI overrides apply on top —
+    old non-default fields survive a resume that doesn't mention them."""
+    import argparse
+
+    sys.path.insert(0, str(REPO))
+    import run as run_mod
+    from pgdvs_tpu.engines.checkpoint import load_run_config, save_run_config
+
+    # original run: two non-default fields
+    args1 = argparse.Namespace(
+        render_cfg=["n_coarse_samples_per_ray=8", "ray_tile=320"]
+    )
+    cfg1 = run_mod.build_render_config(args1)
+    import dataclasses
+
+    save_run_config(tmp_path, {"render_cfg": dataclasses.asdict(cfg1)})
+
+    # resume with ONE new override: the new flag applies, the old ones keep
+    args2 = argparse.Namespace(render_cfg=["knn_tile=256"])
+    saved = load_run_config(tmp_path)
+    cfg2 = run_mod.build_render_config(args2, base=saved["render_cfg"])
+    assert cfg2.knn_tile == 256            # new override applied
+    assert cfg2.n_coarse_samples_per_ray == 8  # restored base survives
+    assert cfg2.ray_tile == 320
+    # and a new override WINS over the restored base
+    args3 = argparse.Namespace(render_cfg=["ray_tile=640"])
+    cfg3 = run_mod.build_render_config(args3, base=saved["render_cfg"])
+    assert cfg3.ray_tile == 640 and cfg3.n_coarse_samples_per_ray == 8
