@@ -468,13 +468,17 @@ def _gnt_kernel4(
     ).astype(dtype)
     # full-width (k + pos + bias) @ w_a0 for ALL blocks, kept in f32; the
     # per-block q-side lands in its 16-lane group via wqa0_emb
+    # accumulated in f32, STORED bf16: mono3 (and the flax reference at
+    # dtype=bf16) run this whole attn_fc_0 chain in bf16 denses, so bf16
+    # residency loses no precision the network ever had — and the [nv2,128]
+    # stream feeds 8 blocks of VPU work (measured: view side is VPU-bound)
     a0sum = (
         jnp.dot(h, ka0_all.astype(dtype), preferred_element_type=jnp.float32)
         + jnp.dot(
             pos_in, pa0_w.astype(dtype), preferred_element_type=jnp.float32
         )
         + ca0.astype(jnp.float32)
-    )                                                        # [nv2, 128] f32
+    ).astype(dtype)                                          # [nv2, 128]
     if precompute_kv:
         vp_all = dense(h, wkv_all)
         pos_all = dense(pos_in, p1w, p1b)                    # [nv2, D*128]
@@ -551,12 +555,12 @@ def _gnt_kernel4(
             # which wa1_emb's zero rows discard after the relu
             qa = jnp.dot(
                 x, wqa0_emb.astype(dtype), preferred_element_type=jnp.float32
-            )
-            qtile = jnp.concatenate([qa] * v, axis=0)        # [nv2, 128] f32
-            t = jax.nn.relu(a0sum - qtile).astype(dtype)
+            ).astype(dtype)
+            qtile = jnp.concatenate([qa] * v, axis=0)        # [nv2, 128]
+            t = jax.nn.relu(a0sum - qtile)
             lg = dense(t, wa1_emb, b_a1)
             lg = lg.astype(jnp.float32) + view_bias
-            val = (vp + pos).astype(jnp.float32)
+            val = vp + pos  # bf16; upcast happens inside the f32 agg fma
 
             mx = vslice(lg, 0)
             for i in range(1, v):
