@@ -155,6 +155,14 @@ def _patch_gather(pts, src_cams, pmaps: FlatPatchMaps):
     rows = jnp.take(flat, base.reshape(-1), axis=0, mode="clip").reshape(
         v, b, s, c16
     )
+    # Measured dead ends (round 4, keep future sessions from retrying):
+    # * optimization_barrier on (x, y, sx, sy, ax, ay) to stop XLA
+    #   duplicating the uv chain into the gather + coef fusions: SLOWER
+    #   (8.99 vs 8.93 s/view) — the duplication beats the HBM round trip.
+    # * coef as [v, b, s, 64] tap-major lanes (2x pad instead of 8x) with
+    #   per-tap [*, 64] x [64, 16C] expansion matmuls in-kernel: SLOWER
+    #   (9.86 vs 8.93) — the transposed coef build + 4x wider expansion
+    #   matmuls cost more than the padding tax they save.
     return rows, x, y, sx, sy, ax, ay
 
 
