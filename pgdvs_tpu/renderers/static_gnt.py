@@ -457,7 +457,34 @@ def render_image_gnt(
     n_rays = rh * rw
 
     epipolar_mode = cfg.epipolar_mode
+    patch_block = cfg.pallas_patch_block
     if epipolar_mode == "patch":
+        from pgdvs_tpu.models.gnt.projector import PATCH_BLOCKS
+
+        if patch_block not in PATCH_BLOCKS:
+            raise ValueError(
+                f"unknown pallas_patch_block {patch_block!r}; "
+                f"valid: {sorted(PATCH_BLOCKS)}"
+            )
+        # blocks larger than 2x2 need the in-kernel combine (mono4, rb=4)
+        # and divisible render dims; fall back to 2x2 LOUDLY
+        by, bx = PATCH_BLOCKS[patch_block][0]
+        if patch_block != "2x2" and not (
+            cfg.pallas_kernel == "mono4"
+            and cfg.pallas_ray_block == 4
+            and rh % by == 0
+            and rw % bx == 0
+        ):
+            import warnings
+
+            warnings.warn(
+                f"pallas_patch_block={patch_block!r} needs mono4 + "
+                f"ray_block=4 + render dims divisible by {by}x{bx}; "
+                "falling back to '2x2'",
+                stacklevel=2,
+            )
+            patch_block = "2x2"
+            by, bx = 2, 2
         # patch mode is the fold-everything fused-kernel fast path; any
         # configuration it cannot serve falls back to quad (per-tap rows)
         # LOUDLY — a silent fallback would corrupt perf-attribution data
@@ -472,9 +499,9 @@ def render_image_gnt(
             and not gnt.ret_view_std
             and gnt.netwidth == 64
             and gnt.depth == 8
-            and rh % 2 == 0
-            and rw % 2 == 0
-            and min(cfg.ray_tile, n_rays) % 4 == 0
+            and rh % by == 0
+            and rw % bx == 0
+            and min(cfg.ray_tile, n_rays) % (by * bx) == 0
             and min(cfg.ray_tile, n_rays) % cfg.pallas_ray_block == 0
         )
         if not patch_ok:
@@ -490,8 +517,15 @@ def render_image_gnt(
 
     fused_maps = None
     if epipolar_mode == "patch":
+        from pgdvs_tpu.models.gnt.projector import PATCH_BLOCKS
+
+        blk, foot = PATCH_BLOCKS[patch_block]
         fused_maps = build_patch_maps(
-            src_rgbs, feats, dtype=gnt.dtype if gnt.dtype != "float32" else None
+            src_rgbs,
+            feats,
+            dtype=gnt.dtype if gnt.dtype != "float32" else None,
+            foot=foot,
+            block=blk,
         )
     elif epipolar_mode in ("fused", "quad", "quad_i8"):
         build = (
@@ -523,14 +557,14 @@ def render_image_gnt(
 
     inv_perm = None
     if epipolar_mode == "patch":
-        # reorder rays into 2x2 pixel blocks so consecutive groups of 4
-        # rays (one fused-kernel ray block) share one patch gather row per
-        # (sample, view); outputs are un-permuted at unpad
+        # reorder rays into by x bx pixel blocks so consecutive ray groups
+        # share one patch gather row per (sample, view); outputs are
+        # un-permuted at unpad
         import numpy as np
 
         perm = (
             np.arange(n_rays)
-            .reshape(rh // 2, 2, rw // 2, 2)
+            .reshape(rh // by, by, rw // bx, bx)
             .transpose(0, 2, 1, 3)
             .reshape(-1)
         )

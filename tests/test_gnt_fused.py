@@ -369,11 +369,14 @@ def test_mono4_matches_mono3_fold_mask(setup, pkv):
     )
 
 
-def test_mono4_patch_rows_matches_prefolded(setup):
-    """patch_rows mode (raw 4x4 rows + stencil coefs, combine in-kernel
+@pytest.mark.parametrize("block_rays,n_pos", [(4, 16), (8, 24)])
+def test_mono4_patch_rows_matches_prefolded(setup, block_rays, n_pos):
+    """patch_rows mode (raw patch rows + stencil coefs, combine in-kernel
     composed with rgbfeat_fc_0) must match the rgb_feat path fed the SAME
     combine done XLA-side. Exact by linearity up to bf16 rounding and the
-    pairing change (half-split vs adjacent — layout-only)."""
+    pairing change (half-split vs adjacent — layout-only). Covers both
+    2x2 blocks (4 rays / 16-position rows) and 4x2 blocks (8 rays /
+    24-position rows, where two grid steps share one rows block)."""
     from pgdvs_tpu.core import cameras as cam_mod
     from pgdvs_tpu.kernels.gnt_fused_mono4 import gnt_fused_apply_mono4
 
@@ -403,32 +406,38 @@ def test_mono4_patch_rows_matches_prefolded(setup):
     )
     vc = sinusoidal_embed(ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True))
 
-    b = r // 4
+    nrb = r // block_rays  # gather row blocks
+    nq = r // 4            # kernel grid-step ray quads
     rows = jnp.asarray(
-        rng.normal(0, 0.5, (v, b, s, 16 * (fc + 0))).astype(np.float32)
+        rng.normal(0, 0.5, (v, nrb, s, n_pos * fc)).astype(np.float32)
     ).astype(jnp.bfloat16)
-    # random nonneg coefs summing <= 1 per tap (bilinear-like)
+    # random nonneg coefs summing <= 1 per tap (bilinear-like); grouped
+    # per grid-step QUAD of rays regardless of the gather blocking
     coef = jnp.asarray(
-        rng.dirichlet(np.ones(16), (v, b, 4, s)).astype(np.float32)
+        rng.dirichlet(np.ones(n_pos), (v, nq, 4, s)).astype(np.float32)
     ).astype(jnp.bfloat16)
 
-    # XLA-side reference combine -> [v, r, s, c] (tap-major within block)
+    # XLA-side reference combine -> [v, r, s, c]: ray = qq*4 + t uses the
+    # rows block qq * 4 // block_rays
     c = fc
-    comb = jnp.zeros((v, b, 4, s, c), jnp.float32)
-    for p in range(16):
+    qper = block_rays // 4  # quads per rows block
+    rows_q = jnp.repeat(rows, qper, axis=1)  # [v, nq, s, n_pos*c]
+    comb = jnp.zeros((v, nq, 4, s, c), jnp.float32)
+    for p in range(n_pos):
         comb = comb + (
-            rows[:, :, None, :, p * c : (p + 1) * c].astype(jnp.float32)
+            rows_q[:, :, None, :, p * c : (p + 1) * c].astype(jnp.float32)
             * coef[..., p : p + 1].astype(jnp.float32)
         )
     rgb_feat_ref = comb.reshape(v, r, s, c).astype(jnp.bfloat16)
 
+    rb = 4 if block_rays == 8 else 8
     ref = gnt_fused_apply_mono4(
         params, rgb_feat_ref, pts, vc, centers, projs, (h, w),
-        ray_block=8, interpret=True,
+        ray_block=rb, interpret=True,
     )
     got = gnt_fused_apply_mono4(
         params, None, pts, vc, centers, projs, (h, w),
-        ray_block=8, interpret=True,
+        ray_block=rb, interpret=True,
         patch_rows=rows, patch_coef=coef,
     )
     np.testing.assert_allclose(

@@ -486,6 +486,8 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         pallas_fold_ray_diff=True, pallas_fold_pos_code=True,
         pallas_fold_mask=True,
     )
+    # patch 4x2: one 6x4 gather row per 4x2 ray block (8x fewer rows)
+    cfg_bench_patch42 = cfg_bench_patch.replace(pallas_patch_block="4x2")
 
     out_e, out_f, out_q = render(cfg_exact), render(cfg_fused), render(cfg_quad)
     out_b = render(cfg_bench)
@@ -493,6 +495,7 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     out_blm = render(cfg_bench_lm)
     out_bm4 = render(cfg_bench_m4)
     out_bp = render(cfg_bench_patch)
+    out_bp42 = render(cfg_bench_patch42)
     # slightly looser rgb bound than quad-vs-fused: the in-kernel ray diff
     # rounds through bf16 at a different point than the XLA-side stream
     for key, tol in (("rgb", 0.04), ("depth", 0.1), ("inbound_cnt", 0.02)):
@@ -515,6 +518,10 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
         np.testing.assert_allclose(
             np.asarray(out_bp[key]), np.asarray(out_q[key]), atol=tol,
             err_msg=f"patch-gather path: {key}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_bp42[key]), np.asarray(out_q[key]), atol=tol,
+            err_msg=f"patch-gather 4x2 path: {key}",
         )
     # quad packs the same fused maps into the channel dim: vs the 4-tap
     # fused mode only float summation order differs (both bf16 kernels)
