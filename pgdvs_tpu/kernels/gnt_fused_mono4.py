@@ -61,6 +61,11 @@ HEADS = 4
 POSENC = 63
 NEG = -1e30
 PH = 8  # attn/pos bottleneck hidden width (netwidth // 8)
+# log2(e): both softmaxes fold this into their logit weights OFFLINE so the
+# kernel exponentiates with the VPU-native exp2 (exp(x) == exp2(x*log2e);
+# softmax is invariant to the consistent scale, so the math is exact) —
+# saves one VPU multiply per logit element per view/key.
+LOG2E = 1.4426950408889634
 
 
 def _d2(w):
@@ -193,14 +198,14 @@ def flatten_gnt_params_mono4(
         # contribute nothing
         wa1_emb = jnp.zeros((DEPTH * 2 * PH, NP), jnp.float32)
         wa1_emb = wa1_emb.at[blk * 2 * PH : (blk + 1) * 2 * PH, :].set(
-            _d2(get(blk, v, "attn", "attn_fc_1", "kernel"))
+            LOG2E * _d2(get(blk, v, "attn", "attn_fc_1", "kernel"))
         )
         out += [
             _t2(get(blk, v, "attn_norm", "scale")),
             _t2(get(blk, v, "attn_norm", "bias")),
             wqa0_emb,
             wa1_emb,
-            _t2(get(blk, v, "attn", "attn_fc_1", "bias")),
+            LOG2E * _t2(get(blk, v, "attn", "attn_fc_1", "bias")),
             _d2(get(blk, v, "attn", "out_fc", "kernel")),
             _t2(get(blk, v, "attn", "out_fc", "bias")),
             _t2(get(blk, v, "ff_norm", "scale")),
@@ -239,7 +244,7 @@ def flatten_gnt_params_mono4(
         ms, ps = [], []
         for h in range(HEADS):
             sl = slice(h * hd, (h + 1) * hd)
-            ms.append(wq[:, sl] @ wkr[:, sl].T / np.sqrt(hd))
+            ms.append(wq[:, sl] @ wkr[:, sl].T * (LOG2E / np.sqrt(hd)))
             ps.append(wvr[:, sl] @ wo[sl, :])
         out += [
             _t2(get(blk, r, "attn_norm", "scale")),
@@ -429,27 +434,56 @@ def _gnt_kernel4(
         # second dim is 1 and only coef differs per grid step.
         bstep = rb // 4
         cp = n_pos * feat_in
-        n_rs = v * bstep * s
-        rows2d = rows_ref[:].reshape(n_rs, cp).astype(dtype)
-        coef = coef_ref[:].reshape(v * bstep, 4, s, n_pos)
+        n_rblk = rows_ref.shape[1]     # rows blocks resident this step
         w0t, b0 = next_w(), next_w()   # [n_pos*C, NW] tiled W0; [128] bias
         # coef lane expansion operand: E[p, l] = 1 iff l // feat_in == p
         E = e_ref[:].astype(dtype)
         hs = []
-        for t in range(4):
-            ce = jnp.dot(
-                coef[:, t].reshape(n_rs, n_pos).astype(dtype), E,
-                preferred_element_type=jnp.float32,
-            ).astype(dtype)
-            h0 = jnp.dot(
-                rows2d * ce, w0t.astype(dtype),
-                preferred_element_type=jnp.float32,
-            ).reshape(v * bstep, s, NW)                      # [vb, s, 64] f32
-            # half-split pair packing (tokens k and k + s/2 share a row):
-            # a contiguous lane concat, unlike adjacent-pair interleaving
-            hs.append(
-                jnp.concatenate([h0[:, :s2], h0[:, s2:]], axis=-1)[:, None]
-            )
+        if n_rblk == bstep:
+            # one rows block per ray quad: batch all quads per tap
+            n_rs = v * bstep * s
+            rows2d = rows_ref[:].reshape(n_rs, cp).astype(dtype)
+            coef = coef_ref[:].reshape(v * bstep, 4, s, n_pos)
+            for t in range(4):
+                ce = jnp.dot(
+                    coef[:, t].reshape(n_rs, n_pos).astype(dtype), E,
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+                h0 = jnp.dot(
+                    rows2d * ce, w0t.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ).reshape(v * bstep, s, NW)                  # [vb, s, 64] f32
+                # half-split pair packing (tokens k and k + s/2 share a
+                # row): a contiguous lane concat, unlike adjacent-pair
+                # interleaving
+                hs.append(
+                    jnp.concatenate([h0[:, :s2], h0[:, s2:]], axis=-1)[
+                        :, None
+                    ]
+                )
+        else:
+            # n_rblk == 1 < bstep: every quad of this step shares ONE rows
+            # block (8-ray patch blocks at ray_block=8) — loop quads so the
+            # rows tensor is never tiled in VMEM
+            n_rs = v * s
+            rows2d = rows_ref[:].reshape(n_rs, cp).astype(dtype)
+            coef = coef_ref[:].reshape(v, bstep, 4, s, n_pos)
+            for qd in range(bstep):
+                for t in range(4):
+                    ce = jnp.dot(
+                        coef[:, qd, t].reshape(n_rs, n_pos).astype(dtype), E,
+                        preferred_element_type=jnp.float32,
+                    ).astype(dtype)
+                    h0 = jnp.dot(
+                        rows2d * ce, w0t.astype(dtype),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(v, s, NW)
+                    hs.append(
+                        jnp.concatenate([h0[:, :s2], h0[:, s2:]], axis=-1)[
+                            :, None
+                        ]
+                    )
+        # hs order is (quad, tap) in both paths -> rows (v, quad*4+tap, s2)
         h0p = jnp.concatenate(hs, axis=1).reshape(nv2, NP)   # [v*rb*s2, 128]
         h = (h0p + b0.astype(jnp.float32)).astype(dtype)
         h = dense(jax.nn.relu(h), next_w(), next_w())        # [nv2, 128]
@@ -575,7 +609,8 @@ def _gnt_kernel4(
             den = jnp.zeros((ns2, NP), jnp.float32)
             agg = jnp.zeros((ns2, NP), jnp.float32)
             for i in range(v):
-                ex = jnp.exp(vslice(lg, i) - mx)
+                # logit weights carry LOG2E (see flatten): exp2 is exact here
+                ex = jnp.exp2(vslice(lg, i) - mx)
                 den = den + ex
                 agg = agg + ex * vslice(val, i)
             agg = (agg / den).astype(dtype)
@@ -626,15 +661,20 @@ def _gnt_kernel4(
             if pad_neg is not None:
                 lgh = lgh + pad_neg
             lgh = lgh - jnp.max(lgh, axis=-1, keepdims=True)
-            exh = jnp.exp(lgh)
-            attn = exh / jnp.sum(exh, axis=-1, keepdims=True)
+            exh = jnp.exp2(lgh)  # mcat carries LOG2E (see flatten): exact
+            den = jnp.sum(exh, axis=-1, keepdims=True)      # [rb, s, 1]
+            # normalize AFTER the value matmul: [rb, s, 64] divisions
+            # instead of [rb, s, s] — the softmax scale is per-query, so
+            # it commutes with the key-axis contraction
             outh = jax.lax.dot_general(
-                attn.astype(dtype), pm[:, :, sl],
+                exh.astype(dtype), pm[:, :, sl],
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
+            ) / den
             acc = outh if acc is None else acc + outh
-            fr = attn[:, 0:1, :]   # query 0 == true sample 0 in eo order
+            # query 0 == true sample 0 in eo order; only this row of the
+            # attention matrix is ever read, so normalize just it
+            fr = exh[:, 0:1, :] / den[:, 0:1]
             w_acc = fr if w_acc is None else w_acc + fr
         out = (acc + bo.astype(jnp.float32)).astype(dtype)   # [rb, s, 64] eo
         xq = q + pack_eo(out)
@@ -741,10 +781,11 @@ def gnt_fused_apply_mono4(
                     f"patch_rows needs ray_block % 4 == 0, got {ray_block}"
                 )
         elif block_rays == 8:
-            if ray_block != 4:
+            if ray_block not in (4, 8):
                 raise ValueError(
-                    "8-ray patch blocks need ray_block == 4 (two grid "
-                    f"steps share one rows block), got {ray_block}"
+                    "8-ray patch blocks need ray_block 4 (two grid steps "
+                    "share one rows block) or 8 (both quads of one step "
+                    f"share it), got {ray_block}"
                 )
         else:
             raise ValueError(f"unsupported patch block_rays {block_rays}")
@@ -808,10 +849,16 @@ def gnt_fused_apply_mono4(
             [pts[:, :s2, :], pts[:, s2:, :]], axis=-1
         ).astype(jnp.float32)
         bstep = ray_block // 4
+        # rows blocks resident per grid step (>=1); the index map is in
+        # BLOCK units, so for every (ray_block, block_rays) combination the
+        # step's first rows block is (i * bstep) // (rows_per_step * n_rblk)
+        n_rblk = max(bstep // rows_per_step, 1)
         data_specs = [
             pl.BlockSpec(
-                (v, max(bstep // rows_per_step, 1), s, cp),
-                lambda i, rps=rows_per_step: (0, i // rps, 0, 0),
+                (v, n_rblk, s, cp),
+                lambda i, bs=bstep, d=rows_per_step * n_rblk: (
+                    0, (i * bs) // d, 0, 0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

@@ -471,7 +471,7 @@ def render_image_gnt(
         by, bx = PATCH_BLOCKS[patch_block][0]
         if patch_block != "2x2" and not (
             cfg.pallas_kernel == "mono4"
-            and cfg.pallas_ray_block == 4
+            and cfg.pallas_ray_block in (4, 8)
             and rh % by == 0
             and rw % bx == 0
         ):
@@ -479,7 +479,7 @@ def render_image_gnt(
 
             warnings.warn(
                 f"pallas_patch_block={patch_block!r} needs mono4 + "
-                f"ray_block=4 + render dims divisible by {by}x{bx}; "
+                f"ray_block 4 or 8 + render dims divisible by {by}x{bx}; "
                 "falling back to '2x2'",
                 stacklevel=2,
             )

@@ -48,6 +48,7 @@ def build_render():
         pallas_fold_lerp=os.environ.get("BENCH_FOLD_LERP", "0") == "1",
         pallas_ablate=os.environ.get("BENCH_PALLAS_ABLATE", ""),
         pallas_precompute_kv=os.environ.get("BENCH_PKV", "1") == "1",
+        pallas_patch_block=os.environ.get("BENCH_PATCH_BLOCK", "4x2"),
     )
     data = make_contract_data(h=h, w=w, n_spatial=n_src, n_frames=12, tgt_time=0.5)
     dev_data = {

@@ -369,14 +369,18 @@ def test_mono4_matches_mono3_fold_mask(setup, pkv):
     )
 
 
-@pytest.mark.parametrize("block_rays,n_pos", [(4, 16), (8, 24)])
-def test_mono4_patch_rows_matches_prefolded(setup, block_rays, n_pos):
+@pytest.mark.parametrize(
+    "block_rays,n_pos,rb", [(4, 16, 8), (8, 24, 4), (8, 24, 8)]
+)
+def test_mono4_patch_rows_matches_prefolded(setup, block_rays, n_pos, rb):
     """patch_rows mode (raw patch rows + stencil coefs, combine in-kernel
     composed with rgbfeat_fc_0) must match the rgb_feat path fed the SAME
     combine done XLA-side. Exact by linearity up to bf16 rounding and the
     pairing change (half-split vs adjacent — layout-only). Covers both
     2x2 blocks (4 rays / 16-position rows) and 4x2 blocks (8 rays /
-    24-position rows, where two grid steps share one rows block)."""
+    24-position rows) — the latter at both ray_block=4 (two grid steps
+    share one rows block) and ray_block=8 (both quads of one step share
+    it; the in-kernel combine loops quads over the un-tiled block)."""
     from pgdvs_tpu.core import cameras as cam_mod
     from pgdvs_tpu.kernels.gnt_fused_mono4 import gnt_fused_apply_mono4
 
@@ -430,7 +434,6 @@ def test_mono4_patch_rows_matches_prefolded(setup, block_rays, n_pos):
         )
     rgb_feat_ref = comb.reshape(v, r, s, c).astype(jnp.bfloat16)
 
-    rb = 4 if block_rays == 8 else 8
     ref = gnt_fused_apply_mono4(
         params, rgb_feat_ref, pts, vc, centers, projs, (h, w),
         ray_block=rb, interpret=True,
