@@ -144,6 +144,12 @@ class Evaluator:
       out_dir: optional directory for per-image pickles / PNG dumps
         (mirrors the reference's infos/ + vis/ layout).
       lpips_params: optional LPIPS params (metrics.lpips_jax).
+      mesh: optional jax.sharding.Mesh — renders mesh.devices.size whole
+        novel views concurrently, the batch axis sharded over (dp, rp).
+        This is the in-engine counterpart of the reference's one-process-
+        per-GPU eval DP (run.py:161-190 + DistributedSampler): on an
+        N-device platform ``run.py eval`` fills all N chips instead of one.
+        None (or a 1-device mesh) = plain single-device jit.
     """
 
     def __init__(
@@ -156,6 +162,7 @@ class Evaluator:
         lpips_params=None,
         save_vis: bool = False,
         tracker=None,
+        mesh=None,
     ):
         self.models = models
         self.params = params
@@ -163,6 +170,16 @@ class Evaluator:
         self.static_mode = static_mode
         self.out_dir = pathlib.Path(out_dir) if out_dir else None
         self.save_vis = save_vis
+
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        self.batch_size = self.mesh.devices.size if self.mesh else 1
+        if self.mesh:
+            from pgdvs_tpu.parallel.sharded import make_sharded_eval_fn
+
+            self._render_batch = make_sharded_eval_fn(
+                self.mesh, models, cfg, static_mode=static_mode,
+                tracker=tracker,
+            )
 
         self._render = jax.jit(
             lambda params, data, key: render_novel_view(
@@ -185,21 +202,54 @@ class Evaluator:
             self._lpips = None
         self._lpips_params = lpips_params
 
-    def eval_item(self, data, item_id: str = "item", seed: int = 0) -> EvalRecord:
-        t0 = time.time()
-        dev_data = {
+    @staticmethod
+    def _device_data(data):
+        return {
             k: jnp.asarray(v)
             for k, v in data.items()
             if k != "misc" and not isinstance(v, (str, dict))
         }
-        out = self._render(self.params, dev_data, jax.random.PRNGKey(seed))
+
+    def eval_item(self, data, item_id: str = "item", seed: int = 0) -> EvalRecord:
+        t0 = time.time()
+        out = self._render(
+            self.params, self._device_data(data), jax.random.PRNGKey(seed)
+        )
         out = jax.block_until_ready(out)
         pred = np.asarray(out["combined_rgb"])
+        wall = time.time() - t0
+        return self._score(pred, data, item_id, wall)
+
+    def eval_batch(self, items) -> list:
+        """Render a batch of (item_id, seed, data) on the mesh, then score.
+
+        The batch is padded to the mesh device count by repeating the last
+        item (padding renders are discarded). Each device renders whole
+        views — the reference's eval DP, in-process.
+        """
+        assert self.mesh is not None
+        t0 = time.time()
+        n = len(items)
+        pad = self.batch_size - n
+        datas = [d for _, _, d in items] + [items[-1][2]] * pad
+        seeds = [s for _, s, _ in items] + [items[-1][1]] * pad
+        dev = [self._device_data(d) for d in datas]
+        batch = {k: jnp.stack([d[k] for d in dev]) for k in dev[0]}
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        with self.mesh:
+            out = self._render_batch(self.params, batch, keys)
+        preds = np.asarray(out["combined_rgb"])
+        wall = (time.time() - t0) / max(n, 1)
+        return [
+            self._score(preds[j], data, item_id, wall)
+            for j, (item_id, _, data) in enumerate(items)
+        ]
+
+    def _score(self, pred, data, item_id: str, wall: float) -> EvalRecord:
         # NaN guard (evaluator_pgdvs.py:56-68): log + zero-fill, never crash
         if not np.isfinite(pred).all():
             LOGGER.warning("non-finite render for %s; zero-filling", item_id)
             pred = np.nan_to_num(pred, nan=0.0, posinf=1.0, neginf=0.0)
-        wall = time.time() - t0
 
         metrics = {}
         misc = data.get("misc") if isinstance(data.get("misc"), dict) else {}
@@ -279,12 +329,34 @@ class Evaluator:
                 (i, d) for i, d in enumerate(dataset)
                 if process_count <= 1 or i % process_count == process_index
             )
-        for i, data in stream:
-            if 0 <= max_items <= len(records):
-                break
-            rec = self.eval_item(data, item_id=f"{i:06d}", seed=i)
-            records.append(rec)
-            LOGGER.info("eval %s: %s", rec.item_id, json.dumps(rec.metrics))
+        if self.mesh is not None:
+            # mesh eval DP: fill a batch of device-count views per step
+            pending = []
+            for i, data in stream:
+                if 0 <= max_items <= len(records) + len(pending):
+                    break
+                pending.append((f"{i:06d}", i, data))
+                if len(pending) == self.batch_size:
+                    records.extend(self.eval_batch(pending))
+                    for rec in records[-len(pending):]:
+                        LOGGER.info(
+                            "eval %s: %s", rec.item_id, json.dumps(rec.metrics)
+                        )
+                    pending = []
+            if pending:
+                recs = self.eval_batch(pending)
+                records.extend(recs)
+                for rec in recs:
+                    LOGGER.info(
+                        "eval %s: %s", rec.item_id, json.dumps(rec.metrics)
+                    )
+        else:
+            for i, data in stream:
+                if 0 <= max_items <= len(records):
+                    break
+                rec = self.eval_item(data, item_id=f"{i:06d}", seed=i)
+                records.append(rec)
+                LOGGER.info("eval %s: %s", rec.item_id, json.dumps(rec.metrics))
         if not records and jax.process_count() == 1:
             return {"count": 0}
         keys = sorted(records[0].metrics.keys()) if records else []

@@ -178,6 +178,34 @@ def _patch_gather(pts, src_cams, pmaps: FlatPatchMaps):
     return rows, x, y, sx, sy, ax, ay
 
 
+def patch_clamp_fraction(pts, src_cams, pmaps: FlatPatchMaps):
+    """Debug diagnostic (ADVICE r4): fraction of in-reach bilinear taps whose
+    stencil cell falls OUTSIDE the block's gathered patch and is therefore
+    border-clamped — i.e. sampled up to 2 px off vs quad mode.
+
+    ~0 for rig-like camera sets (the intra-block reprojection spread of a
+    by x bx pixel block is ~its pixel extent, which the footprint covers by
+    construction). A large value flags a rig whose reprojection Jacobian
+    stretches blocks past the footprint (strong rotation between target and
+    sources, extreme wide-angle) — patch mode then degrades quality without
+    otherwise failing, so drive THIS diagnostic when qualifying a new rig.
+    """
+    _, x, y, sx, sy, ax, ay = _patch_gather(pts, src_cams, pmaps)
+    (v, h, w), (fy, fx) = pmaps.vhw, pmaps.foot
+    nb = pmaps.block[0] * pmaps.block[1]
+    r, s = pts.shape[0], pts.shape[1]
+    b = r // nb
+    reach = (
+        (x > -1.0) & (x < float(w)) & (y > -1.0) & (y < float(h))
+    ).reshape(v, b, nb, s)
+    dx = sx.reshape(v, b, nb, s) - ax[:, :, None, :]
+    dy = sy.reshape(v, b, nb, s) - ay[:, :, None, :]
+    clamped = reach & (
+        (dx < 0.0) | (dx > float(fx - 2)) | (dy < 0.0) | (dy > float(fy - 2))
+    )
+    return jnp.sum(clamped) / jnp.maximum(jnp.sum(reach), 1)
+
+
 def epipolar_sample_patch_raw(pts, tgt_cam, src_cams, pmaps: FlatPatchMaps):
     """Raw patch rows + per-tap stencil coefficients for the IN-KERNEL
     combine (mono4 ``patch_rows`` mode).

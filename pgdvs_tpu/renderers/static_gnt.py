@@ -422,6 +422,200 @@ def render_rays_gnt(
     return out
 
 
+def resolve_epipolar_cfg(
+    cfg: RenderConfig, gnt, rh: int, rw: int, n_rays: Optional[int] = None
+) -> RenderConfig:
+    """Resolve cfg.epipolar_mode against the render geometry and the fused
+    kernel's capabilities, falling back LOUDLY (never silently).
+
+    Returns a (possibly updated) cfg whose epipolar_mode/pallas_patch_block
+    every downstream consumer (map builder, sampler, kernel dispatch) can key
+    off consistently — the pre-round-5 code updated only a local variable,
+    leaving cfg.epipolar_mode='patch' to mis-key the map builder on the
+    fallback path (ADVICE r4, high).
+    """
+    if n_rays is None:
+        n_rays = rh * rw
+    if cfg.epipolar_mode != "patch":
+        return cfg
+    from pgdvs_tpu.models.gnt.projector import PATCH_BLOCKS
+
+    patch_block = cfg.pallas_patch_block
+    if patch_block not in PATCH_BLOCKS:
+        raise ValueError(
+            f"unknown pallas_patch_block {patch_block!r}; "
+            f"valid: {sorted(PATCH_BLOCKS)}"
+        )
+    # blocks larger than 2x2 need the in-kernel combine (mono4, rb=4)
+    # and divisible render dims; fall back to 2x2 LOUDLY
+    by, bx = PATCH_BLOCKS[patch_block][0]
+    if patch_block != "2x2" and not (
+        cfg.pallas_kernel == "mono4"
+        and cfg.pallas_ray_block in (4, 8)
+        and rh % by == 0
+        and rw % bx == 0
+    ):
+        import warnings
+
+        warnings.warn(
+            f"pallas_patch_block={patch_block!r} needs mono4 + "
+            f"ray_block 4 or 8 + render dims divisible by {by}x{bx}; "
+            "falling back to '2x2'",
+            stacklevel=2,
+        )
+        patch_block = "2x2"
+        by, bx = 2, 2
+    # patch mode is the fold-everything fused-kernel fast path; any
+    # configuration it cannot serve falls back to quad (per-tap rows)
+    # LOUDLY — a silent fallback would corrupt perf-attribution data
+    # (ADVICE r3) and quad is numerically equivalent, just slower
+    patch_ok = (
+        cfg.use_pallas_gnt
+        and cfg.pallas_kernel in ("mono3", "mono4")
+        and not cfg.gnt_use_dyn_mask
+        and cfg.pallas_fold_ray_diff
+        and cfg.pallas_fold_pos_code
+        and cfg.pallas_fold_mask
+        and not gnt.ret_view_std
+        and gnt.netwidth == 64
+        and gnt.depth == 8
+        and rh % by == 0
+        and rw % bx == 0
+        and min(cfg.ray_tile, n_rays) % (by * bx) == 0
+        and min(cfg.ray_tile, n_rays) % cfg.pallas_ray_block == 0
+    )
+    if not patch_ok:
+        import warnings
+
+        warnings.warn(
+            "epipolar_mode='patch' requires the fused-kernel fold path "
+            "(use_pallas_gnt + fold_ray_diff/pos_code/mask, no dyn mask, "
+            "no view-std, even render dims); falling back to 'quad'",
+            stacklevel=2,
+        )
+        return cfg.replace(
+            epipolar_mode="quad", pallas_patch_block=patch_block
+        )
+    return cfg.replace(pallas_patch_block=patch_block)
+
+
+def build_epipolar_maps(
+    cfg: RenderConfig, gnt, src_rgbs, feats, src_invalid_masks=None
+):
+    """Build the per-view sampling maps for cfg.epipolar_mode.
+
+    Must be called with a RESOLVED cfg (resolve_epipolar_cfg) and OUTSIDE
+    any per-tile loop / shard body: the flatten reshapes insert a relayout
+    transpose of the full table wherever they sit (FlatQuadMaps docstring).
+    Returns None for 'exact' (the sampler reads src_rgbs/feats directly).
+    """
+    if cfg.epipolar_mode == "patch":
+        from pgdvs_tpu.models.gnt.projector import PATCH_BLOCKS
+
+        blk, foot = PATCH_BLOCKS[cfg.pallas_patch_block]
+        return build_patch_maps(
+            src_rgbs,
+            feats,
+            dtype=gnt.dtype if gnt.dtype != "float32" else None,
+            foot=foot,
+            block=blk,
+        )
+    if cfg.epipolar_mode in ("fused", "quad", "quad_i8"):
+        build = (
+            build_quad_maps
+            if cfg.epipolar_mode.startswith("quad")
+            else build_fused_maps
+        )
+        fused_maps = build(
+            src_rgbs,
+            feats,
+            src_invalid_masks if cfg.gnt_use_dyn_mask else None,
+            dtype=gnt.dtype if gnt.dtype != "float32" else None,
+        )
+        if cfg.epipolar_mode == "quad_i8":
+            # per-channel int8 maps: ~2x smaller gather rows; the network
+            # consumes the samples in bf16 anyway, so per-channel int8
+            # quantization is below its activation precision
+            return flatten_quad_maps(*quantize_quad_maps(fused_maps))
+        if cfg.epipolar_mode == "quad":
+            return flatten_quad_maps(fused_maps)
+        return fused_maps
+    return None
+
+
+def patch_ray_perm(n_rays: int, rh: int, rw: int, by: int, bx: int):
+    """Ray permutation grouping rays into by x bx pixel blocks (+ inverse).
+
+    Consecutive groups of by*bx permuted rays share one patch gather row per
+    (sample, view). Returns (perm, inv_perm) as device arrays.
+    """
+    import numpy as np
+
+    perm = (
+        np.arange(n_rays)
+        .reshape(rh // by, by, rw // bx, bx)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    return jnp.asarray(perm), jnp.asarray(np.argsort(perm))
+
+
+def render_rays_tiled(
+    gnt,
+    gnt_params,
+    rays_o,
+    rays_d,
+    dr,
+    tgt_cam,
+    src_cams,
+    src_rgbs,
+    feats,
+    cfg: RenderConfig,
+    src_invalid_masks=None,
+    fused_maps=None,
+):
+    """lax.map over fixed-size ray tiles; returns FLAT [n_rays, ...] outputs.
+
+    Rays are padded (edge mode) to a tile multiple; padding renders garbage
+    that is sliced off. The tile quantum keeps every patch/pallas divisibility
+    constraint that resolve_epipolar_cfg validated.
+    """
+    n_rays = rays_o.shape[0]
+    tile = min(cfg.ray_tile, n_rays)
+    n_pad = -(-n_rays // tile) * tile
+    pad = n_pad - n_rays
+
+    def pad_rays(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), mode="edge")
+
+    rays_o_t = pad_rays(rays_o).reshape(n_pad // tile, tile, 3)
+    rays_d_t = pad_rays(rays_d).reshape(n_pad // tile, tile, 3)
+    dr_t = pad_rays(dr).reshape(n_pad // tile, tile, 2)
+
+    def tile_fn(args):
+        o, d, r = args
+        return render_rays_gnt(
+            gnt,
+            gnt_params,
+            o,
+            d,
+            r,
+            tgt_cam,
+            src_cams,
+            src_rgbs,
+            feats,
+            cfg,
+            src_invalid_masks=src_invalid_masks,
+            src_fused_maps=fused_maps,
+        )
+
+    tiled = jax.lax.map(tile_fn, (rays_o_t, rays_d_t, dr_t))
+    return {
+        k: v.reshape((n_pad,) + v.shape[2:])[:n_rays]
+        for k, v in tiled.items()
+    }
+
+
 def render_image_gnt(
     models,
     params,
@@ -456,99 +650,10 @@ def render_image_gnt(
     )
     n_rays = rh * rw
 
-    epipolar_mode = cfg.epipolar_mode
-    patch_block = cfg.pallas_patch_block
-    if epipolar_mode == "patch":
-        from pgdvs_tpu.models.gnt.projector import PATCH_BLOCKS
-
-        if patch_block not in PATCH_BLOCKS:
-            raise ValueError(
-                f"unknown pallas_patch_block {patch_block!r}; "
-                f"valid: {sorted(PATCH_BLOCKS)}"
-            )
-        # blocks larger than 2x2 need the in-kernel combine (mono4, rb=4)
-        # and divisible render dims; fall back to 2x2 LOUDLY
-        by, bx = PATCH_BLOCKS[patch_block][0]
-        if patch_block != "2x2" and not (
-            cfg.pallas_kernel == "mono4"
-            and cfg.pallas_ray_block in (4, 8)
-            and rh % by == 0
-            and rw % bx == 0
-        ):
-            import warnings
-
-            warnings.warn(
-                f"pallas_patch_block={patch_block!r} needs mono4 + "
-                f"ray_block 4 or 8 + render dims divisible by {by}x{bx}; "
-                "falling back to '2x2'",
-                stacklevel=2,
-            )
-            patch_block = "2x2"
-            by, bx = 2, 2
-        # patch mode is the fold-everything fused-kernel fast path; any
-        # configuration it cannot serve falls back to quad (per-tap rows)
-        # LOUDLY — a silent fallback would corrupt perf-attribution data
-        # (ADVICE r3) and quad is numerically equivalent, just slower
-        patch_ok = (
-            cfg.use_pallas_gnt
-            and cfg.pallas_kernel in ("mono3", "mono4")
-            and not cfg.gnt_use_dyn_mask
-            and cfg.pallas_fold_ray_diff
-            and cfg.pallas_fold_pos_code
-            and cfg.pallas_fold_mask
-            and not gnt.ret_view_std
-            and gnt.netwidth == 64
-            and gnt.depth == 8
-            and rh % by == 0
-            and rw % bx == 0
-            and min(cfg.ray_tile, n_rays) % (by * bx) == 0
-            and min(cfg.ray_tile, n_rays) % cfg.pallas_ray_block == 0
-        )
-        if not patch_ok:
-            import warnings
-
-            warnings.warn(
-                "epipolar_mode='patch' requires the fused-kernel fold path "
-                "(use_pallas_gnt + fold_ray_diff/pos_code/mask, no dyn mask, "
-                "no view-std, even render dims); falling back to 'quad'",
-                stacklevel=2,
-            )
-            epipolar_mode = "quad"
-
-    fused_maps = None
-    if epipolar_mode == "patch":
-        from pgdvs_tpu.models.gnt.projector import PATCH_BLOCKS
-
-        blk, foot = PATCH_BLOCKS[patch_block]
-        fused_maps = build_patch_maps(
-            src_rgbs,
-            feats,
-            dtype=gnt.dtype if gnt.dtype != "float32" else None,
-            foot=foot,
-            block=blk,
-        )
-    elif epipolar_mode in ("fused", "quad", "quad_i8"):
-        build = (
-            build_quad_maps
-            if cfg.epipolar_mode.startswith("quad")
-            else build_fused_maps
-        )
-        fused_maps = build(
-            src_rgbs,
-            feats,
-            src_invalid_masks if cfg.gnt_use_dyn_mask else None,
-            dtype=gnt.dtype if gnt.dtype != "float32" else None,
-        )
-        if cfg.epipolar_mode == "quad_i8":
-            # per-channel int8 maps: ~2x smaller gather rows; the network
-            # consumes the samples in bf16 anyway, so per-channel int8
-            # quantization is below its activation precision
-            fused_maps = flatten_quad_maps(*quantize_quad_maps(fused_maps))
-        elif epipolar_mode == "quad":
-            # flatten to the gather's 2D row table HERE — outside the ray
-            # tile loop — so the relayout transpose runs once per image,
-            # not once per tile (FlatQuadMaps docstring)
-            fused_maps = flatten_quad_maps(fused_maps)
+    cfg = resolve_epipolar_cfg(cfg, gnt, rh, rw, n_rays)
+    fused_maps = build_epipolar_maps(
+        cfg, gnt, src_rgbs, feats, src_invalid_masks
+    )
 
     if depth_range.ndim == 1:
         dr = jnp.broadcast_to(depth_range, (n_rays, 2))
@@ -556,61 +661,39 @@ def render_image_gnt(
         dr = depth_range[:: cfg.render_stride, :: cfg.render_stride].reshape(-1, 2)
 
     inv_perm = None
-    if epipolar_mode == "patch":
+    if cfg.epipolar_mode == "patch":
         # reorder rays into by x bx pixel blocks so consecutive ray groups
         # share one patch gather row per (sample, view); outputs are
         # un-permuted at unpad
-        import numpy as np
+        from pgdvs_tpu.models.gnt.projector import PATCH_BLOCKS
 
-        perm = (
-            np.arange(n_rays)
-            .reshape(rh // by, by, rw // bx, bx)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1)
-        )
-        inv_perm = jnp.asarray(np.argsort(perm))
-        perm = jnp.asarray(perm)
+        by, bx = PATCH_BLOCKS[cfg.pallas_patch_block][0]
+        perm, inv_perm = patch_ray_perm(n_rays, rh, rw, by, bx)
         rays_o = rays_o[perm]
         rays_d = rays_d[perm]
         dr = dr[perm]
 
-    tile = min(cfg.ray_tile, n_rays)
-    n_pad = -(-n_rays // tile) * tile
-    pad = n_pad - n_rays
-
-    def pad_rays(x):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), mode="edge")
-
-    rays_o_t = pad_rays(rays_o).reshape(n_pad // tile, tile, 3)
-    rays_d_t = pad_rays(rays_d).reshape(n_pad // tile, tile, 3)
-    dr_t = pad_rays(dr).reshape(n_pad // tile, tile, 2)
-
-    def tile_fn(args):
-        o, d, r = args
-        return render_rays_gnt(
-            gnt,
-            params["gnt"],
-            o,
-            d,
-            r,
-            tgt_cam,
-            src_cams,
-            src_rgbs,
-            feats,
-            cfg,
-            src_invalid_masks=src_invalid_masks,
-            src_fused_maps=fused_maps,
-        )
-
-    tiled = jax.lax.map(tile_fn, (rays_o_t, rays_d_t, dr_t))
+    flat = render_rays_tiled(
+        gnt,
+        params["gnt"],
+        rays_o,
+        rays_d,
+        dr,
+        tgt_cam,
+        src_cams,
+        src_rgbs,
+        feats,
+        cfg,
+        src_invalid_masks=src_invalid_masks,
+        fused_maps=fused_maps,
+    )
 
     def unpad(x):
-        flat = x.reshape((n_pad,) + x.shape[2:])[:n_rays]
         if inv_perm is not None:
-            flat = flat[inv_perm]
-        return flat.reshape((rh, rw) + x.shape[2:])
+            x = x[inv_perm]
+        return x.reshape((rh, rw) + x.shape[1:])
 
-    out = {k: unpad(v) for k, v in tiled.items()}
+    out = {k: unpad(v) for k, v in flat.items()}
     n_src = src_rgbs.shape[0]
     out["oob_mask"] = (
         out["inbound_cnt"] < (cfg.mask_oob_n_proj_thres / n_src)

@@ -115,6 +115,20 @@ def build_models_and_params(args, cfg):
     return models, params
 
 
+def build_eval_mesh(args):
+    """Mesh over the local devices for in-engine eval DP (N views on N
+    chips — the reference's one-process-per-GPU parallelism, in-process).
+    Returns None for a single device (plain jit)."""
+    import jax
+
+    n = args.devices if args.devices > 0 else jax.local_device_count()
+    if n <= 1:
+        return None
+    from pgdvs_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_devices=n, rp=getattr(args, "rp", 1) or 1)
+
+
 def cmd_eval(args):
     from pgdvs_tpu.engines.evaluator import Evaluator
     from pgdvs_tpu.metrics.lpips_jax import load_torch_weights
@@ -133,6 +147,7 @@ def cmd_eval(args):
         out_dir=args.out_dir,
         lpips_params=lpips_params,
         save_vis=args.save_vis,
+        mesh=build_eval_mesh(args),
     )
     result = ev.run(
         dataset,
@@ -262,6 +277,7 @@ def cmd_benchmark(args):
         lpips_params=load_torch_weights(),
         save_vis=True,
         tracker=tracker,
+        mesh=build_eval_mesh(args),
     )
     result = ev.run(
         dataset,
@@ -299,6 +315,10 @@ def main(argv=None):
         p.add_argument("--out-dir", default=None)
         p.add_argument("--process-index", type=int, default=0)
         p.add_argument("--process-count", type=int, default=1)
+        p.add_argument("--devices", type=int, default=0,
+                       help="local devices for in-engine eval DP (a (dp, rp) "
+                       "mesh rendering that many views concurrently); "
+                       "0 = all local devices, 1 = plain single-device jit")
 
     pe = sub.add_parser("eval", help="evaluate on a dataset")
     common(pe)

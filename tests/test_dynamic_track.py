@@ -96,7 +96,6 @@ def test_default_capacity_covers_all_dyn_pixels(data):
     d = _dev(data)
     # inflate the dynamic region of a track frame past any fixed small cap
     big = np.zeros((2, H, W, 1), np.float32)
-    big[0, : H // 2] = 1.0  # H/2 * W = 1536 dyn pixels in frame 0... scale up
     big[0] = 1.0  # all H*W = 3072 pixels dynamic (> the old 2048 cap)
     d["dyn_mask_src_track_fwd"] = jnp.asarray(big)
     stack = build_track_stack(d)

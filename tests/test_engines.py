@@ -165,6 +165,88 @@ def test_sharded_render_matches_single_device(setup):
     )
 
 
+def test_sharded_render_flagship_patch_matches_single_device(setup):
+    """The FLAGSHIP config (mono4 + full fold set + patch gather — the
+    exact program bench.py measures) must render identically through the
+    ray-sharded mesh path (VERDICT r4 item 3: sharded_render_rays used to
+    silently degrade patch configs to the exact sampler)."""
+    from pgdvs_tpu.parallel.mesh import make_mesh
+    from pgdvs_tpu.parallel.sharded import sharded_render_rays
+    from pgdvs_tpu.renderers.static_gnt import render_image_gnt
+
+    models, params, data, _ = setup
+    cfg = RenderConfig(
+        n_coarse_samples_per_ray=16, ray_tile=320,
+        use_pallas_gnt=True, pallas_kernel="mono4", pallas_ray_block=4,
+        pallas_fold_ray_diff=True, pallas_fold_pos_code=True,
+        pallas_fold_mask=True, epipolar_mode="patch",
+        pallas_patch_block="4x2",
+    )
+    mesh = make_mesh(n_devices=8, dp=2, rp=4)
+    dev = {k: jnp.asarray(v) for k, v in data.items() if not isinstance(v, (dict, str))}
+
+    import warnings
+
+    with warnings.catch_warnings():
+        # the flagship config must NOT trip any fallback warning
+        warnings.simplefilter("error")
+        plain = jax.jit(
+            lambda p: render_image_gnt(
+                models,
+                p,
+                dev["flat_cam_tgt"],
+                dev["flat_cam_src_spatial"],
+                dev["static_rgb_src_spatial"],
+                (H, W),
+                dev["depth_range"],
+                cfg,
+            )
+        )(params)
+        with mesh:
+            sharded = sharded_render_rays(
+                mesh,
+                models,
+                params,
+                dev["flat_cam_tgt"],
+                dev["flat_cam_src_spatial"],
+                dev["static_rgb_src_spatial"],
+                (H, W),
+                dev["depth_range"],
+                cfg,
+            )
+    np.testing.assert_allclose(
+        np.asarray(plain["rgb"]), np.asarray(sharded["rgb"]), atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain["depth"]), np.asarray(sharded["depth"]), atol=3e-2
+    )
+
+
+def test_evaluator_mesh_mode_matches_single_device(setup, tmp_path):
+    """Evaluator(mesh=...) — in-engine eval DP (N whole views on N devices,
+    the reference's run.py:161-190 parallelism) — must reproduce the plain
+    single-device evaluator's metrics, including on a partial final batch."""
+    from pgdvs_tpu.engines.evaluator import Evaluator
+    from pgdvs_tpu.parallel.mesh import make_mesh
+
+    models, params, data, cfg = setup
+    items = [data] * 5  # one full batch of 4 + a padded remainder of 1
+    single = Evaluator(models, params, cfg).run(items)
+    mesh = make_mesh(n_devices=4, dp=4, rp=1)
+    meshed = Evaluator(
+        models, params, cfg, mesh=mesh, out_dir=str(tmp_path)
+    ).run(items)
+    assert meshed["count"] == single["count"] == 5
+    for k, v in single["mean"].items():
+        if k == "render_wall_s":
+            continue
+        assert meshed["mean"][k] == pytest.approx(v, rel=1e-4, abs=1e-5), k
+    # per-image pickles written for every REAL item, none for padding
+    assert sorted(p.name for p in tmp_path.glob("*.pkl")) == [
+        f"{i:06d}.pkl" for i in range(5)
+    ]
+
+
 def test_sharded_eval_batch(setup):
     """DP-batched render over the mesh matches per-item rendering."""
     from pgdvs_tpu.parallel.mesh import make_mesh

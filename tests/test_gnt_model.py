@@ -539,6 +539,153 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     assert rgb_err.max() < 0.3, rgb_err.max()
 
 
+def test_patch_unserviceable_falls_back_to_quad_consistently():
+    """A patch config that fails patch_ok must fall back to the quad path
+    end to end (ADVICE r4, high): the pre-fix code only updated a local
+    variable, so the map builder still keyed off cfg.epipolar_mode='patch'
+    and crashed with an AttributeError inside epipolar_sample_fused."""
+    import warnings
+
+    import jax
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.static_gnt import (
+        init_gnt_params,
+        make_gnt_models,
+        render_image_gnt,
+    )
+
+    rng = np.random.default_rng(5)
+    v, h, w = 2, 16, 24
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 24.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.05 * i, 0.0, -0.02 * i]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    tgt_c2w = np.eye(4)
+    tgt_c2w[:3, 3] = [0.013, 0.007, -0.031]
+    tgt_cam = jnp.asarray(cam_mod.make_flat_cam(h, w, k, tgt_c2w), jnp.float32)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    models = make_gnt_models(dtype="float32")
+    params = init_gnt_params(jax.random.PRNGKey(0), *models, n_src=v)
+    dr = jnp.asarray([1.0, 6.0], jnp.float32)
+
+    def render(cfg):
+        return jax.jit(
+            lambda p: render_image_gnt(
+                models, p, tgt_cam, cams, rgbs, (h, w), dr, cfg
+            )
+        )(params)
+
+    base = dict(n_coarse_samples_per_ray=8, ray_tile=128)
+    # use_pallas_gnt=False fails patch_ok -> must warn and become quad
+    with pytest.warns(UserWarning, match="falling back to 'quad'"):
+        out_fb = render(
+            RenderConfig(**base, epipolar_mode="patch", use_pallas_gnt=False)
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the explicit quad config is silent
+        out_q = render(
+            RenderConfig(**base, epipolar_mode="quad", use_pallas_gnt=False)
+        )
+    # after the fallback both configs run the IDENTICAL program
+    for key in ("rgb", "depth", "inbound_cnt"):
+        np.testing.assert_array_equal(
+            np.asarray(out_fb[key]), np.asarray(out_q[key]), err_msg=key
+        )
+
+
+def test_patch_clamp_diagnostic_flags_scale_mismatched_rigs():
+    """The patch sampler clamps taps whose stencil cell spreads past the
+    gathered patch (a <=2 px sampling shift). patch_clamp_fraction makes a
+    bad rig geometry detectable (ADVICE r4): ~0 for a rig-like camera set
+    (and patch == quad there), clearly nonzero when a source view's pixel
+    scale magnifies target blocks past the footprint (e.g. a zoomed-in
+    source: 3x the target focal stretches a 2x2 block to ~6 px)."""
+    from scipy.spatial.transform import Rotation
+
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.models.gnt.projector import (
+        build_patch_maps,
+        build_quad_maps,
+        epipolar_sample_fused,
+        epipolar_sample_patch,
+        flatten_quad_maps,
+        patch_clamp_fraction,
+    )
+
+    rng = np.random.default_rng(11)
+    v, h, w, f = 3, 32, 40, 8
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 40.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+
+    def rig(rot_deg, focal=40.0):
+        kk = np.eye(4)
+        kk[0, 0] = kk[1, 1] = focal
+        kk[0, 2], kk[1, 2] = w / 2, h / 2
+        cams = []
+        for i in range(v):
+            c2w = np.eye(4)
+            c2w[:3, :3] = Rotation.from_euler(
+                "y", rot_deg * (i - 1), degrees=True
+            ).as_matrix()
+            c2w[:3, 3] = [0.1 * i - 0.1, -0.05 * i, 0.02 * i]
+            cams.append(
+                np.asarray(cam_mod.make_flat_cam(h, w, kk, c2w), np.float32)
+            )
+        return jnp.asarray(np.stack(cams))
+
+    tgt_c2w = np.eye(4)
+    tgt_c2w[:3, 3] = [0.013, 0.007, -0.031]
+    tgt = jnp.asarray(cam_mod.make_flat_cam(h, w, k, tgt_c2w), jnp.float32)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(v, h // 4, w // 4, f)).astype(np.float32))
+    pmaps = build_patch_maps(rgbs, feats)
+    qmaps = flatten_quad_maps(build_quad_maps(rgbs, feats, None))
+
+    rays_o, rays_d, _uv, (rh, rw) = cam_mod.get_rays(
+        h, w, cam_mod.flat_cam_intrinsics(tgt), cam_mod.flat_cam_c2w(tgt)
+    )
+    perm = (
+        np.arange(rh * rw)
+        .reshape(rh // 2, 2, rw // 2, 2)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    sel = perm[128:384]
+    s = 8
+    z = jnp.linspace(1.5, 6.0, s)
+    pts = (
+        jnp.asarray(rays_o)[sel][:, None, :]
+        + z[None, :, None] * jnp.asarray(rays_d)[sel][:, None, :]
+    )
+
+    # mild (rig-like) rotation: no clamping, patch == quad everywhere
+    mild = rig(2.0)
+    frac_mild = float(patch_clamp_fraction(pts, mild, pmaps))
+    assert frac_mild < 0.01, frac_mild
+    patch = epipolar_sample_patch(pts, tgt, mild, pmaps)
+    quad = epipolar_sample_fused(
+        pts, tgt, mild, qmaps, with_mask=False, quad=True, views_outer=True,
+        with_ray_diff=False, emit_mask=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(patch["rgb_feat"], np.float32),
+        np.asarray(quad["rgb_feat"], np.float32),
+        atol=1e-4,
+    )
+
+    # scale-mismatched rig (3x-zoomed source views): clearly flagged
+    frac_hot = float(patch_clamp_fraction(pts, rig(2.0, focal=120.0), pmaps))
+    assert frac_hot > frac_mild
+    assert frac_hot > 0.02, frac_hot
+
+
 @pytest.mark.slow
 def test_render_with_fine_importance_resampling():
     """n_fine_samples_per_ray > 0 runs the second GNT pass on merged coarse
