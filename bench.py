@@ -111,11 +111,19 @@ def main():
 
     h, w = 288, 550
     n_src = 10
+    # BENCH_DYN_MASK=1: masked view attention (the reference's default/
+    # masked_attn bundles) — pair with BENCH_EPI_MODE=quad
+    # BENCH_PALLAS_KERNEL=mono3 BENCH_FOLD_MASK=0 (the masked perf preset;
+    # patch/fold_mask cannot carry a dyn mask). BENCH_STATIC_MODE=geo:
+    # the pure-geometry bundles (st_cvd_*) — the GNT knobs are inert there.
+    dyn_mask = os.environ.get("BENCH_DYN_MASK", "0") == "1"
+    static_mode = os.environ.get("BENCH_STATIC_MODE", "gnt")
     cfg = RenderConfig(
         n_coarse_samples_per_ray=int(os.environ.get("BENCH_N_COARSE", "256")),
         n_fine_samples_per_ray=int(os.environ.get("BENCH_N_FINE", "0")),
         sample_inv_uniform=True,
-        gnt_use_masked_spatial_src=True,
+        gnt_use_dyn_mask=dyn_mask,
+        gnt_use_masked_spatial_src=not dyn_mask,
         # rt 2048 + patch measured fastest (8.92 s/view): patch rows at
         # rt 4096 gain nothing (8.97) and quad's larger combine fusions
         # favored 4096 — see STATUS.md round-4 trajectory
@@ -159,7 +167,7 @@ def main():
     params = jax.block_until_ready(params)
 
     render = jax.jit(
-        lambda p, d, k: render_novel_view(models, p, d, cfg, k, static_mode="gnt")
+        lambda p, d, k: render_novel_view(models, p, d, cfg, k, static_mode=static_mode)
     )
 
     # NOTE: this environment's tunneled TPU backend does NOT synchronize on
@@ -214,7 +222,7 @@ def main():
         )
         render_track = jax.jit(
             lambda p, d, k: render_novel_view(
-                models, p, d, cfg_track, k, static_mode="gnt", tracker=tracker
+                models, p, d, cfg_track, k, static_mode=static_mode, tracker=tracker
             )
         )
 
@@ -241,6 +249,8 @@ def main():
         "iter_max_s": round(max(iter_s), 3),
         "epipolar_mode": cfg.epipolar_mode,
         "pallas_kernel": cfg.pallas_kernel,
+        "gnt_use_dyn_mask": dyn_mask,
+        "static_mode": static_mode,
     }
     if track_s is not None:
         extra["track_s_per_view"] = round(track_s, 4)

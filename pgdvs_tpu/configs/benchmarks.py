@@ -212,12 +212,24 @@ BENCHMARK_TYPES: Dict[str, Dict[str, Any]] = {
 BENCHMARK_TYPES["st_gnt_masked_attn_dy_cvd_pcl_clean"] = BENCHMARK_TYPES["default"]
 
 
-def resolve_benchmark(name: str):
-    """Return (render_cfg, spec dict) for a named benchmark bundle."""
+def resolve_benchmark(name: str, preset: str = "fast"):
+    """Return (render_cfg, spec dict) for a named benchmark bundle.
+
+    preset='fast' (default) applies apply_perf_preset — each bundle compiles
+    its fastest serviceable kernel configuration (the program bench.py
+    measures, for the bundles its flags allow). preset='exact' keeps the
+    reference-faithful exact sampler (the pre-round-5 behavior).
+    """
     if name not in BENCHMARK_TYPES:
         raise KeyError(f"unknown benchmark {name!r}; known: {sorted(BENCHMARK_TYPES)}")
+    if preset not in ("fast", "exact"):
+        raise KeyError(f"unknown perf preset {preset!r}; valid: fast | exact")
     spec = dict(BENCHMARK_TYPES[name])
     cfg = RenderConfig(**spec.get("render_cfg", {}))
+    if preset == "fast":
+        from pgdvs_tpu.renderers.config import apply_perf_preset
+
+        cfg = apply_perf_preset(cfg)
     return cfg, spec
 
 

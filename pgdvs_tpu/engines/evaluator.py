@@ -286,8 +286,17 @@ class Evaluator:
 
         if self.out_dir is not None:
             self.out_dir.mkdir(parents=True, exist_ok=True)
+            # the pickle carries the reference's join ids (scene / frame /
+            # cam — evaluator_pgdvs.py:120-129 filename fields) so
+            # scripts/ref_parity_compare.py can match items mechanically;
+            # they stay OUT of .metrics, which the summary float-sums
+            ids = {
+                k: misc[k]
+                for k in ("scene_id", "tgt_frame_id", "tgt_cam_id")
+                if k in misc
+            }
             with open(self.out_dir / f"{item_id}.pkl", "wb") as f:
-                pickle.dump(metrics, f)
+                pickle.dump({**metrics, **ids}, f)
             if self.save_vis:
                 import PIL.Image
 

@@ -151,3 +151,46 @@ class RenderConfig:
 
 
 DEFAULT_EVAL_CONFIG = RenderConfig()
+
+
+def apply_perf_preset(cfg: RenderConfig) -> RenderConfig:
+    """Fill the TPU perf knobs with the fastest SERVICEABLE values for
+    ``cfg``'s semantic flags — the production default since round 5, so the
+    benchmarked speed is what ``run.py eval``/``benchmark`` actually compile
+    (the reference has no exact/fast split: its one sampler is what its 87
+    GPU-s/view baseline measures).
+
+    Only kernel-strategy knobs are touched; every semantic flag (masks,
+    branches, sample counts, protocols) is preserved, and numerics stay
+    within bf16 rounding of the exact sampler (tests/test_gnt_fused.py
+    parity suite + the e2e delta in docs/BENCHMARK.md). Callers apply
+    explicit user overrides AFTER this, so ``--render-cfg
+    epipolar_mode=exact`` (or ``--perf-preset exact``) restores the
+    reference-faithful sampler.
+
+    - no dyn mask: the flagship path — mono4 fused kernel (128-lane
+      sample-pair packing, composed attention chains), full fold set, patch
+      epipolar gather on 4x2 ray blocks (8x fewer gather rows). Measured
+      8.55 chip-s/view at bench scale (BENCH_r04). Unserviceable geometries
+      (odd render dims, tile mismatches) fall back loudly via
+      resolve_epipolar_cfg.
+    - masked view attention (gnt_use_dyn_mask): the patch/fold_mask path
+      cannot carry a dyn mask, so: mono3 kernel + quad gather (one row per
+      sample/view) + ray-diff/pos-code folds, which all compose with masks.
+    """
+    if cfg.gnt_use_dyn_mask:
+        return cfg.replace(
+            epipolar_mode="quad",
+            pallas_kernel="mono3",
+            pallas_fold_ray_diff=True,
+            pallas_fold_pos_code=True,
+        )
+    return cfg.replace(
+        epipolar_mode="patch",
+        pallas_patch_block="4x2",
+        pallas_kernel="mono4",
+        pallas_ray_block=4,
+        pallas_fold_ray_diff=True,
+        pallas_fold_pos_code=True,
+        pallas_fold_mask=True,
+    )

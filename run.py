@@ -50,13 +50,20 @@ def build_render_config(args, base: dict = None):
     run's ``overrides.yaml`` and appends the NEW CLI overrides on top
     (``/root/reference/pgdvs/run.py:206-261``) — here the saved resolved
     config is the base and new ``--render-cfg`` flags win.
+
+    Composition order: base -> perf preset (--perf-preset fast, the default
+    for eval/vis: the benchmarked kernel configuration) -> explicit
+    --render-cfg overrides (always win, so ``--render-cfg
+    epipolar_mode=exact`` opts any single knob back out of the preset).
     """
-    from pgdvs_tpu.renderers.config import RenderConfig
+    from pgdvs_tpu.renderers.config import RenderConfig, apply_perf_preset
 
     fields = {f.name for f in dataclasses.fields(RenderConfig)}
     base_cfg = RenderConfig(
         **{k: v for k, v in (base or {}).items() if k in fields}
     )
+    if getattr(args, "perf_preset", "exact") == "fast":
+        base_cfg = apply_perf_preset(base_cfg)
     overrides = {}
     for kv in args.render_cfg or []:
         k, _, v = kv.partition("=")
@@ -227,7 +234,7 @@ def cmd_benchmark(args):
     """Run a named benchmark_type bundle (the reference's ablation matrix)."""
     from pgdvs_tpu.configs.benchmarks import make_tracker, resolve_benchmark
 
-    cfg, spec = resolve_benchmark(args.benchmark_type)
+    cfg, spec = resolve_benchmark(args.benchmark_type, preset=args.perf_preset)
     # fold in explicit --render-cfg overrides
     if args.render_cfg:
         fields = {}
@@ -319,6 +326,15 @@ def main(argv=None):
                        help="local devices for in-engine eval DP (a (dp, rp) "
                        "mesh rendering that many views concurrently); "
                        "0 = all local devices, 1 = plain single-device jit")
+        p.add_argument("--perf-preset", default="fast",
+                       choices=["fast", "exact"],
+                       help="fast (default): compile each config's fastest "
+                       "serviceable kernel path (fused Pallas GNT + "
+                       "patch/quad epipolar gather — the configuration "
+                       "bench.py measures; numerics within bf16 rounding "
+                       "of exact, see docs/BENCHMARK.md). exact: the "
+                       "reference-faithful sampler. Explicit --render-cfg "
+                       "flags override the preset knob-by-knob")
 
     pe = sub.add_parser("eval", help="evaluate on a dataset")
     common(pe)
@@ -345,7 +361,10 @@ def main(argv=None):
                     "truth (test leakage); debugging only")
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--n-ckpts-keep", type=int, default=3)
-    pt.set_defaults(fn=cmd_train)
+    # training differentiates through the flax path (the fused kernel defines
+    # no VJP), so the render-perf preset would only pollute the saved resume
+    # config with inert knobs
+    pt.set_defaults(fn=cmd_train, perf_preset="exact")
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")
     pb.set_defaults(fn=cmd_bench)
