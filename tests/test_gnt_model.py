@@ -539,6 +539,66 @@ def test_render_rays_quad_views_outer_matches_exact_flax():
     assert rgb_err.max() < 0.3, rgb_err.max()
 
 
+def test_masked_perf_preset_matches_flax_on_same_sampler():
+    """The masked-attention perf preset (mono3 + quad + ray-diff/pos-code
+    folds + dyn mask — what `run.py benchmark --benchmark-type default`
+    compiles since round 5) must match the flax path on the SAME quad
+    sampler to bf16-kernel rounding (the 0.04 bound the other fold paths
+    use). Guards the one preset output no pre-round-5 test covered:
+    pallas folds composed WITH a dynamic mask."""
+    import jax
+    from pgdvs_tpu.core import cameras as cam_mod
+    from pgdvs_tpu.renderers.config import RenderConfig, apply_perf_preset
+    from pgdvs_tpu.renderers.static_gnt import (
+        init_gnt_params,
+        make_gnt_models,
+        render_image_gnt,
+    )
+
+    rng = np.random.default_rng(3)
+    v, h, w = 3, 16, 24
+    k = np.eye(4)
+    k[0, 0] = k[1, 1] = 24.0
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    cams = []
+    for i in range(v):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.05 * i, 0.0, -0.02 * i]
+        cams.append(np.asarray(cam_mod.make_flat_cam(h, w, k, c2w), np.float32))
+    cams = jnp.asarray(np.stack(cams))
+    tgt_c2w = np.eye(4)
+    tgt_c2w[:3, 3] = [0.013, 0.007, -0.031]
+    tgt_cam = jnp.asarray(cam_mod.make_flat_cam(h, w, k, tgt_c2w), jnp.float32)
+    rgbs = jnp.asarray(rng.uniform(0, 1, (v, h, w, 3)).astype(np.float32))
+    inv = jnp.asarray((rng.uniform(0, 1, (v, h, w, 1)) > 0.8).astype(np.float32))
+    models = make_gnt_models(dtype="float32")
+    params = init_gnt_params(jax.random.PRNGKey(0), *models, n_src=v)
+    dr = jnp.asarray([1.0, 6.0], jnp.float32)
+
+    base = dict(n_coarse_samples_per_ray=16, ray_tile=128, gnt_use_dyn_mask=True)
+    cfg_fast = apply_perf_preset(RenderConfig(**base))
+    assert cfg_fast.epipolar_mode == "quad"  # masks exclude patch/fold_mask
+    assert cfg_fast.pallas_kernel == "mono3"
+
+    def render(cfg):
+        return jax.jit(
+            lambda p: render_image_gnt(
+                models, p, tgt_cam, cams, rgbs, (h, w), dr, cfg,
+                src_invalid_masks=inv,
+            )
+        )(params)
+
+    o_flax = render(RenderConfig(**base, epipolar_mode="quad",
+                                 use_pallas_gnt=False))
+    o_fast = render(cfg_fast)
+    for key, tol in (("rgb", 0.04), ("depth", 0.1), ("dyn_cnt", 0.02),
+                     ("inbound_cnt", 0.02)):
+        np.testing.assert_allclose(
+            np.asarray(o_fast[key]), np.asarray(o_flax[key]), atol=tol,
+            err_msg=f"masked preset path: {key}",
+        )
+
+
 def test_patch_unserviceable_falls_back_to_quad_consistently():
     """A patch config that fails patch_ok must fall back to the quad path
     end to end (ADVICE r4, high): the pre-fix code only updated a local
