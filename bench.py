@@ -130,7 +130,10 @@ def main():
         ray_tile=int(os.environ.get("BENCH_RAY_TILE", "2048")),
         epipolar_mode=os.environ.get("BENCH_EPI_MODE", "patch"),
         use_pallas_gnt=os.environ.get("BENCH_PALLAS_GNT", "1") == "1",
-        pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "4")),
+        # rb=8: both quads of a 4x2 patch block share one grid step — 8.30
+        # vs rb=4's 8.55 s/view (round 5); needs BENCH_PKV=0 (per-block k/v
+        # slices fit VMEM) + the raised scoped-VMEM budget below
+        pallas_ray_block=int(os.environ.get("BENCH_RAY_BLOCK", "8")),
         pallas_kernel=os.environ.get("BENCH_PALLAS_KERNEL", "mono4"),
         pallas_fold_ray_diff=os.environ.get("BENCH_FOLD_RAY_DIFF", "1") == "1",
         pallas_fold_pos_code=os.environ.get("BENCH_FOLD_POS_CODE", "1") == "1",
@@ -140,7 +143,7 @@ def main():
         # lerp-pass saving (21.5 s vs 19.3 s) — off by default
         pallas_fold_lerp=os.environ.get("BENCH_FOLD_LERP", "0") == "1",
         pallas_ablate=os.environ.get("BENCH_PALLAS_ABLATE", ""),
-        pallas_precompute_kv=os.environ.get("BENCH_PKV", "1") == "1",
+        pallas_precompute_kv=os.environ.get("BENCH_PKV", "0") == "1",
         # 4x2: 8 rays share one 6x4-pixel gather row — 8.605 s/view vs
         # 2x2's 8.92 (the gather is row-issue-bound; halving rows wins
         # more than the wider in-kernel combine costs)
@@ -166,8 +169,22 @@ def main():
     )
     params = jax.block_until_ready(params)
 
+    # BENCH_SCOPED_VMEM_KIB: override XLA's scoped-VMEM budget (default:
+    # whatever the config needs per compiler_options_for — rb>=8 requires
+    # ~96 MiB; XLA's own default ~18.25 MiB refuses it). Passes through the
+    # axon tunnel as a per-jit compiler option (XLA_FLAGS does NOT — the
+    # local CPU plugin rejects TPU-only flags at parse time).
+    from pgdvs_tpu.renderers.config import compiler_options_for
+
+    scoped_kib = int(os.environ.get("BENCH_SCOPED_VMEM_KIB", "0"))
+    copts = (
+        {"xla_tpu_scoped_vmem_limit_kib": scoped_kib}
+        if scoped_kib
+        else compiler_options_for(cfg)
+    )
     render = jax.jit(
-        lambda p, d, k: render_novel_view(models, p, d, cfg, k, static_mode=static_mode)
+        lambda p, d, k: render_novel_view(models, p, d, cfg, k, static_mode=static_mode),
+        compiler_options=copts,
     )
 
     # NOTE: this environment's tunneled TPU backend does NOT synchronize on
@@ -223,7 +240,8 @@ def main():
         render_track = jax.jit(
             lambda p, d, k: render_novel_view(
                 models, p, d, cfg_track, k, static_mode=static_mode, tracker=tracker
-            )
+            ),
+            compiler_options=copts if scoped_kib else compiler_options_for(cfg_track),
         )
 
         def run_track(i):

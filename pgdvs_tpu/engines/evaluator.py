@@ -181,6 +181,8 @@ class Evaluator:
                 tracker=tracker,
             )
 
+        from pgdvs_tpu.renderers.config import compiler_options_for
+
         self._render = jax.jit(
             lambda params, data, key: render_novel_view(
                 self.models,
@@ -190,7 +192,8 @@ class Evaluator:
                 key,
                 static_mode=static_mode,
                 tracker=tracker,
-            )
+            ),
+            compiler_options=compiler_options_for(cfg),
         )
         if lpips_params is not None:
             from pgdvs_tpu.metrics.lpips_jax import lpips_distance

@@ -57,10 +57,13 @@ class Visualizer:
         self.static_mode = static_mode
         self.out_dir = pathlib.Path(out_dir)
         self.fps = fps
+        from pgdvs_tpu.renderers.config import compiler_options_for
+
         self._render = jax.jit(
             lambda params, data, key: render_novel_view(
                 models, params, data, cfg, key, static_mode=static_mode
-            )
+            ),
+            compiler_options=compiler_options_for(cfg),
         )
 
     def run(self, dataset: Iterable, save_keys=("combined_rgb",)) -> pathlib.Path:

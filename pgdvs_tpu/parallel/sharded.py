@@ -208,12 +208,17 @@ def make_sharded_eval_fn(
             tracker=tracker,
         )
 
+    from pgdvs_tpu.renderers.config import compiler_options_for
+
     batched = jax.vmap(render_one, in_axes=(None, 0, 0))
     data_sharding = NamedSharding(mesh, P(("dp", "rp")))
     return jax.jit(
         batched,
         in_shardings=(None, data_sharding, data_sharding),
         out_shardings=data_sharding,
+        compiler_options=compiler_options_for(
+            cfg, platform=mesh.devices.flat[0].platform
+        ),
     )
 
 

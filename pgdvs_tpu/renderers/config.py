@@ -189,8 +189,40 @@ def apply_perf_preset(cfg: RenderConfig) -> RenderConfig:
         epipolar_mode="patch",
         pallas_patch_block="4x2",
         pallas_kernel="mono4",
-        pallas_ray_block=4,
+        # rb=8: both quads of a 4x2 patch block share one grid step —
+        # 8.30 vs rb=4's 8.55 chip-s/view at bench scale (round 5); needs
+        # per-block k/v slicing (pkv off) + a raised scoped-VMEM budget on
+        # TPU backends (compiler_options_for)
+        pallas_ray_block=8,
+        pallas_precompute_kv=False,
         pallas_fold_ray_diff=True,
         pallas_fold_pos_code=True,
         pallas_fold_mask=True,
     )
+
+
+def compiler_options_for(cfg: RenderConfig, platform: str = None):
+    """Per-jit XLA compiler options ``cfg``'s kernel path needs, or None.
+
+    mono4 at ray_block>=8 keeps ~72 MiB of kernel state + double-buffered
+    operands in scoped VMEM at bench scale (288x550, 256 samples); XLA's
+    default scoped-VMEM budget (~18 MiB on this backend) refuses to compile
+    it ("exceeded scoped vmem limit"). The raised budget is a TPU-only XLA
+    flag: it must reach every ``jax.jit`` that can compile this program
+    (evaluator / visualizer / sharded eval / bench) and must NOT be passed
+    on CPU backends, whose XLA rejects unknown tpu flags at parse time —
+    hence the platform gate (the virtual-mesh test lane runs on CPU, where
+    pallas interprets the kernel and no budget applies).
+    """
+    if platform is None:
+        import jax
+
+        platform = jax.devices()[0].platform
+    if (
+        platform == "tpu"
+        and cfg.use_pallas_gnt
+        and cfg.pallas_kernel == "mono4"
+        and cfg.pallas_ray_block >= 8
+    ):
+        return {"xla_tpu_scoped_vmem_limit_kib": 98304}
+    return None

@@ -87,6 +87,38 @@ def test_perf_preset_picks_fastest_serviceable_path():
         resolve_benchmark("default", preset="turbo")
 
 
+def test_flagship_preset_rb8_and_compiler_options_gating():
+    """The round-5 flagship preset runs the rb=8 grid (both quads of a 4x2
+    patch block share one step — 8.30 vs rb=4's 8.55 chip-s/view) with
+    per-block k/v slicing, and compiler_options_for supplies the raised
+    scoped-VMEM budget that program needs on TPU backends ONLY — CPU XLA
+    rejects unknown tpu flags at parse time, so the virtual-mesh test lane
+    must see None."""
+    from pgdvs_tpu.renderers.config import (
+        RenderConfig,
+        apply_perf_preset,
+        compiler_options_for,
+    )
+
+    flagship = apply_perf_preset(RenderConfig())
+    assert flagship.pallas_ray_block == 8
+    assert not flagship.pallas_precompute_kv
+    assert compiler_options_for(flagship, platform="tpu") == {
+        "xla_tpu_scoped_vmem_limit_kib": 98304
+    }
+    assert compiler_options_for(flagship, platform="cpu") is None
+    # this test lane runs on CPU: the backend-derived default must gate off
+    assert compiler_options_for(flagship) is None
+
+    # rb=4 and the masked (mono3) preset fit XLA's default budget
+    assert compiler_options_for(
+        flagship.replace(pallas_ray_block=4), platform="tpu"
+    ) is None
+    masked = apply_perf_preset(RenderConfig(gnt_use_dyn_mask=True))
+    assert masked.pallas_ray_block == 4
+    assert compiler_options_for(masked, platform="tpu") is None
+
+
 def test_cli_render_cfg_overrides_win_over_preset():
     """--render-cfg flags are applied AFTER the perf preset, so any knob —
     including epipolar_mode=exact — opts back out of it."""

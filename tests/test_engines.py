@@ -175,13 +175,14 @@ def test_sharded_render_flagship_patch_matches_single_device(setup):
     from pgdvs_tpu.renderers.static_gnt import render_image_gnt
 
     models, params, data, _ = setup
-    cfg = RenderConfig(
-        n_coarse_samples_per_ray=16, ray_tile=320,
-        use_pallas_gnt=True, pallas_kernel="mono4", pallas_ray_block=4,
-        pallas_fold_ray_diff=True, pallas_fold_pos_code=True,
-        pallas_fold_mask=True, epipolar_mode="patch",
-        pallas_patch_block="4x2",
+    # derive via the production preset so this test tracks the shipped
+    # flagship (round 5: mono4 + patch 4x2 + rb=8 + per-block k/v)
+    from pgdvs_tpu.renderers.config import apply_perf_preset
+
+    cfg = apply_perf_preset(
+        RenderConfig(n_coarse_samples_per_ray=16, ray_tile=320)
     )
+    assert cfg.epipolar_mode == "patch" and cfg.pallas_ray_block == 8
     mesh = make_mesh(n_devices=8, dp=2, rp=4)
     dev = {k: jnp.asarray(v) for k, v in data.items() if not isinstance(v, (dict, str))}
 
