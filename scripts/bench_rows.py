@@ -55,6 +55,10 @@ ROWS = {
     # perf experiment: larger ray tile with the 4x2 patch path (2x2 showed
     # no gain at rt4096; the 4x2 combine is narrower — retest)
     "rt4096": {"BENCH_RAY_TILE": "4096"},
+    # perf experiment: precomputed k/v at rb=8 — the round-4 note said it
+    # does not fit VMEM, but that predates the raised scoped-VMEM budget;
+    # saves the in-kernel per-block k/v matmuls if it compiles
+    "rb8_pkv1": {"BENCH_PKV": "1", "BENCH_SCOPED_VMEM_KIB": "131072"},
 }
 
 
